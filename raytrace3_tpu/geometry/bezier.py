@@ -1,0 +1,286 @@
+"""Cubic Bezier patches: Bernstein evaluation, batched Newton intersection.
+
+Reference: ``Bezier3`` / ``Bezier3Obj`` (raytracer/Bezier.h:59-289).  The
+reference solves ray(t) = S(u,v) per candidate ray with 50 RANDOM restarts x
+10 Newton steps, inverting the 3x3 Jacobian with OpenCV (Bezier.h:112-159).
+
+TPU-native redesign (SURVEY.md C9-C11):
+  * control points are a ``(B, 4, 4, 3)`` array — a differentiable parameter;
+  * Bernstein evaluation is a tensor-product contraction (einsum -> MXU/VPU);
+  * Newton runs as a fixed-iteration batch over (rays x patches x restarts)
+    with a DETERMINISTIC stratified (u, v) restart grid (same coverage as the
+    reference's random restarts, none of the RNG divergence) and the
+    closed-form Cramer solve from ops/solve3.py;
+  * acceptance mirrors Bezier.h:135: residual^2 < M_EPS and u, v in [0, 1];
+    roots with t <= M_EPS are discarded up front (the reference instead lets
+    a negative-t root win the per-patch min and then drops the whole patch at
+    Bezier.h:251 — an accuracy bug we do not reproduce).
+
+A Pallas kernel for the same math lives in ops/newton_pallas.py; this module
+is the reference jnp implementation and the autodiff path.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.vecmath import M_EPS, MAX_DIST, normalize
+from ..ops.solve3 import solve3_columns
+from .aabb import aabb_from_points, slab_test
+
+#: Reference Newton iteration budget (Bezier.h:6 ``MAX_ITER 10``).
+DEFAULT_NEWTON_ITERS = 10
+#: Stratified restart grid side; 4x4=16 deterministic restarts replace the
+#: reference's ``maxIter*5``=50 random restarts (Bezier.h:115).
+DEFAULT_RESTART_GRID = 4
+
+
+@flax.struct.dataclass
+class BezierObject:
+    """One Bezier object = a bag of bicubic patches (the teapot: B=32)."""
+
+    ctrl: jnp.ndarray  # (B, 4, 4, 3); ctrl[b, i, k] pairs i with the v basis
+    #                    and k with the u basis, matching the reference's
+    #                    P[4i+k] layout (Bezier.h:85-90, 213-224).
+
+    @property
+    def num_patches(self) -> int:
+        return self.ctrl.shape[0]
+
+
+def bernstein(t: jnp.ndarray) -> jnp.ndarray:
+    """Cubic Bernstein basis, (...,) -> (..., 4) (Bezier.h:69-76)."""
+    s = 1.0 - t
+    return jnp.stack([s * s * s, 3.0 * t * s * s, 3.0 * t * t * s, t * t * t], axis=-1)
+
+
+def dbernstein(t: jnp.ndarray) -> jnp.ndarray:
+    """Cubic Bernstein basis derivative, (...,) -> (..., 4) (Bezier.h:77-84)."""
+    s = 1.0 - t
+    return jnp.stack(
+        [
+            -3.0 * s * s,
+            3.0 * s * s - 6.0 * t * s,
+            6.0 * t * s - 3.0 * t * t,
+            3.0 * t * t,
+        ],
+        axis=-1,
+    )
+
+
+def patch_point(ctrl: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """S(u, v) for ctrl (..., 4, 4, 3), u/v (...,) -> (..., 3).
+
+    Reference: evalPatchPoint (Bezier.h:85-90): S = b(v)^T G b(u)."""
+    bu = bernstein(u)
+    bv = bernstein(v)
+    return jnp.einsum("...i,...k,...ikc->...c", bv, bu, ctrl)
+
+
+def patch_derivs(ctrl: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """(S, dS/du, dS/dv) in one basis evaluation (Bezier.h:85-111)."""
+    bu, bv = bernstein(u), bernstein(v)
+    dbu, dbv = dbernstein(u), dbernstein(v)
+    # Contract the v basis once, reuse for S and Su.
+    gv = jnp.einsum("...i,...ikc->...kc", bv, ctrl)      # (..., 4, 3)
+    s = jnp.einsum("...k,...kc->...c", bu, gv)
+    su = jnp.einsum("...k,...kc->...c", dbu, gv)
+    sv = jnp.einsum("...i,...k,...ikc->...c", dbv, bu, ctrl)
+    return s, su, sv
+
+
+def restart_grid(g: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Stratified (u0, v0) cell centres, shape (g*g, 2)."""
+    c = (jnp.arange(g, dtype=dtype) + 0.5) / g
+    uu, vv = jnp.meshgrid(c, c, indexing="ij")
+    return jnp.stack([uu.ravel(), vv.ravel()], axis=-1)
+
+
+def newton_patch_solve(
+    org: jnp.ndarray,
+    dir: jnp.ndarray,
+    ctrl: jnp.ndarray,
+    iters: int = DEFAULT_NEWTON_ITERS,
+    restarts: int = DEFAULT_RESTART_GRID,
+    residual2_eps: float = M_EPS,
+    uv_slack: float = 0.0,
+):
+    """Batched Newton root-find of ``org + t dir = S(u, v)``.
+
+    Args:
+      org, dir: (R, 3) rays (dir need not be unit; the reference passes unit).
+      ctrl:     (B, 4, 4, 3) patches.
+      iters:    fixed Newton iterations (reference: 10, Bezier.h:115-140).
+      restarts: side of the stratified restart grid (restarts^2 starts).
+    Returns:
+      t:  (R, B) min accepted distance per ray-patch (MAX_DIST if none),
+      u, v: (R, B) surface parameters of the winning root,
+      hit: (R, B) bool.
+
+    Acceptance per iteration mirrors Bezier.h:133-139: after each update,
+    re-evaluate the residual at the NEW x and accept when residual^2 <
+    residual2_eps and u, v in [0, 1] (+slack); the running min over
+    (iteration, restart) replaces the reference's xvec + linear min scan
+    (Bezier.h:142-158).
+    """
+    R = org.shape[0]
+    B = ctrl.shape[0]
+    starts = restart_grid(restarts, org.dtype)          # (G, 2)
+    G = starts.shape[0]
+
+    # Broadcast to the full (R, B, G) batch.
+    o = org[:, None, None, :]
+    d = dir[:, None, None, :]
+    c = ctrl[None, :, None]                             # (1, B, 1, 4, 4, 3)
+    u = jnp.broadcast_to(starts[None, None, :, 0], (R, B, G))
+    v = jnp.broadcast_to(starts[None, None, :, 1], (R, B, G))
+    # t0: project the start point onto the ray (better than the reference's
+    # t0 = 0, Bezier.h:117, and costs one extra patch eval).
+    s0 = patch_point(c, u, v)
+    t = jnp.sum((s0 - o) * d, axis=-1) / jnp.sum(d * d, axis=-1)
+
+    best_t = jnp.full((R, B, G), MAX_DIST, org.dtype)
+    best_u = jnp.zeros((R, B, G), org.dtype)
+    best_v = jnp.zeros((R, B, G), org.dtype)
+
+    def body(carry, _):
+        t, u, v, best_t, best_u, best_v = carry
+        s, su, sv = patch_derivs(c, u, v)
+        r = (o + t[..., None] * d) - s                  # residual F(x)
+        dt, du, dv, ok = solve3_columns(
+            jnp.broadcast_to(d, r.shape), -su, -sv, -r
+        )
+        t2 = t + jnp.where(ok, dt, 0.0)
+        u2 = u + jnp.where(ok, du, 0.0)
+        v2 = v + jnp.where(ok, dv, 0.0)
+        # Re-evaluate residual at the new point (Bezier.h:133-135).
+        s_new = patch_point(c, u2, v2)
+        res2 = jnp.sum(((o + t2[..., None] * d) - s_new) ** 2, axis=-1)
+        lo, hi = -uv_slack, 1.0 + uv_slack
+        accept = (
+            (res2 < residual2_eps)
+            & (u2 >= lo) & (u2 <= hi)
+            & (v2 >= lo) & (v2 <= hi)
+            & (t2 > M_EPS)
+            & (t2 < best_t)
+        )
+        best_t = jnp.where(accept, t2, best_t)
+        best_u = jnp.where(accept, u2, best_u)
+        best_v = jnp.where(accept, v2, best_v)
+        return (t2, u2, v2, best_t, best_u, best_v), None
+
+    (t, u, v, best_t, best_u, best_v), _ = jax.lax.scan(
+        body, (t, u, v, best_t, best_u, best_v), None, length=iters
+    )
+
+    # Reduce over restarts.
+    gi = jnp.argmin(best_t, axis=-1)                    # (R, B)
+    take = lambda a: jnp.take_along_axis(a, gi[..., None], axis=-1)[..., 0]
+    t_rb = take(best_t)
+    return t_rb, take(best_u), take(best_v), t_rb < MAX_DIST
+
+
+def intersect_bezier(
+    org: jnp.ndarray,
+    dir: jnp.ndarray,
+    obj: BezierObject,
+    iters: int = DEFAULT_NEWTON_ITERS,
+    restarts: int = DEFAULT_RESTART_GRID,
+    patch_prune: bool = True,
+    newton_fn=None,
+):
+    """Nearest ray-object hit over all patches.
+
+    Mirrors Bezier3Obj::GetIntersect (Bezier.h:240-282): object AABB gate,
+    per-patch solve (per-patch AABB gate at Bezier.h:176-186 becomes a mask
+    that zeroes pruned lanes), min-t reduce, normal = Su x Sv flipped toward
+    the viewer.
+
+    Returns (t, hit, u, v, n): t (R,), hit (R,), u/v (R,), n (R, 3).
+    ``newton_fn`` lets callers swap in the Pallas kernel; signature matches
+    :func:`newton_patch_solve` restricted to (org, dir, ctrl).
+    """
+    ctrl = obj.ctrl
+    flat = ctrl.reshape(ctrl.shape[0], 16, 3)
+    pmin, pmax = aabb_from_points(flat)                 # (B, 3) each
+    obj_min = jnp.min(pmin, axis=0)
+    obj_max = jnp.max(pmax, axis=0)
+
+    obj_gate = slab_test(org, dir, obj_min, obj_max)    # (R,)
+
+    if newton_fn is None:
+        t, u, v, hit = newton_patch_solve(org, dir, ctrl, iters, restarts)
+    else:
+        t, u, v, hit = newton_fn(org, dir, ctrl)
+
+    if patch_prune:
+        patch_gate = slab_test(
+            org[:, None, :], dir[:, None, :], pmin[None], pmax[None]
+        )                                               # (R, B)
+        hit = hit & patch_gate
+    hit = hit & obj_gate[:, None]
+    t = jnp.where(hit, t, MAX_DIST)
+
+    bi = jnp.argmin(t, axis=-1)                         # (R,)
+    rows = jnp.arange(t.shape[0])
+    t_best = t[rows, bi]
+    u_best = u[rows, bi]
+    v_best = v[rows, bi]
+    any_hit = t_best < MAX_DIST
+
+    # Normal at the winning root only (Bezier.h:267-272).
+    cw = ctrl[bi]                                       # (R, 4, 4, 3)
+    _, su, sv = patch_derivs(cw, u_best, v_best)
+    n = jnp.cross(su, sv)
+    n = jnp.where(jnp.sum(n * dir, -1, keepdims=True) > 0.0, -n, n)
+    n = normalize(n)
+    return t_best, any_hit, u_best, v_best, n
+
+
+def load_bpt(path: str, scale: float = 1.0, transform: np.ndarray | None = None,
+             translate=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """Parse a Newell-format ``.bpt`` patch file -> (B, 4, 4, 3) float32.
+
+    Host-side numpy replacement for the reference's stdin-hijacking parser
+    (Bezier.h:199-239, quirk #10: ``freopen`` on stdin).  Applies the same
+    point pipeline: p -> scale * p -> transform @ p -> p + translate
+    (Scene.h:142-154 builds transform = Trans2 @ Trans for the teapot).
+    """
+    with open(path) as f:
+        tok = f.read().split()
+    it = iter(tok)
+    nxt = lambda: next(it)
+    b = int(nxt())
+    out = np.empty((b, 4, 4, 3), np.float64)
+    tr = np.eye(3) if transform is None else np.asarray(transform, np.float64)
+    c = np.asarray(translate, np.float64)
+    for p in range(b):
+        m, n = int(nxt()), int(nxt())
+        assert m == 3 and n == 3, f"patch {p}: only bicubic supported, got {m}x{n}"
+        pts = np.array([[float(nxt()) for _ in range(3)] for _ in range(16)])
+        pts = (tr @ (pts * scale).T).T + c
+        out[p] = pts.reshape(4, 4, 3)
+    return out.astype(np.float32)
+
+
+def teapot_transform() -> np.ndarray:
+    """The reference teapot orientation matrix (Scene.h:142-152).
+
+    Trans swaps y/z; Trans2 rotates 90 deg about y; composed Trans2 @ Trans.
+    """
+    trans = np.zeros((3, 3))
+    trans[0, 0] = 1.0
+    trans[1, 2] = 1.0
+    trans[2, 1] = 1.0
+    th = np.pi / 2.0
+    trans2 = np.array(
+        [
+            [np.cos(th), 0.0, np.sin(th)],
+            [0.0, 1.0, 0.0],
+            [-np.sin(th), 0.0, np.cos(th)],
+        ]
+    )
+    return trans2 @ trans

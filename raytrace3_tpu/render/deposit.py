@@ -1,0 +1,95 @@
+"""Flux deposit: accumulate photon deposits into hit points.
+
+Reference: the FLANN kd-tree radius search + neighbour loop
+(raytracer/Raytracer.h:92-98, 137-159, 370-381) — one tree query PER photon
+deposit, single-threaded, with the neighbour filter
+``hp->n . N > 1e-3 && |hp->pos - x|^2 <= hp->R2`` and the accumulation
+``hp->tao += hp->wgt * flux / pi; hp->newN++`` (Raytracer.h:154-157).
+
+TPU-native replacements (SURVEY.md C17, BASELINE.json):
+
+1. ``deposit_bruteforce`` — the ALL-PAIRS formulation.  The neighbour mask
+   is a distance matrix; distance needs |h|^2 + |d|^2 - 2 h.d, and the flux
+   accumulation is ``mask @ flux`` — i.e. TWO MATMULS, which the MXU eats at
+   near peak.  Chunked over deposits so nothing quadratic materialises in
+   HBM.  Exactly equal to the kd-tree result (it IS the brute-force oracle),
+   trivially differentiable, and the default for single-chip sizes.
+
+2. ``deposit_grid`` (ops/grid.py) — uniform-grid binning for large scenes:
+   sort deposits by cell, gather 27 neighbour cells per hit point.  O(C * M)
+   instead of O(C * D); wins when C * D exceeds ~10^10.
+
+The search radius is the global INIT_R2 = 2.0 like the reference
+(Raytracer.h:85,146 — quirk #6: the global radius never tracks the
+per-hit-point shrink; correctness comes from the per-neighbour r2 re-check,
+which we keep as the actual filter).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Deposits, HitPoints
+
+#: Normal-agreement threshold (Raytracer.h:154).
+NORMAL_DOT_MIN = 1e-3
+
+
+def _chunk_contrib(hp_pos, hp_n, hp_r2, hp_valid, dp, dn, df, dv):
+    """Contribution of one deposit chunk to every hit point.
+
+    Returns (d_count (C,), d_flux (C, 3)); d_flux EXCLUDES the wgt/pi factor
+    (applied once by the caller).
+    """
+    # dist^2 via the matmul identity: |h|^2 + |d|^2 - 2 h.d  (MXU).
+    hd = hp_pos @ dp.T                                   # (C, J)
+    d2 = (
+        jnp.sum(hp_pos * hp_pos, -1)[:, None]
+        + jnp.sum(dp * dp, -1)[None, :]
+        - 2.0 * hd
+    )
+    ndot = hp_n @ dn.T                                   # (C, J)
+    mask = (
+        (d2 <= hp_r2[:, None])
+        & (ndot > NORMAL_DOT_MIN)
+        & dv[None, :]
+        & hp_valid[:, None]
+    )
+    w = mask.astype(dp.dtype)
+    return jnp.sum(w, axis=1), w @ df                    # (C,), (C, 3)
+
+
+def deposit_bruteforce(hp: HitPoints, dep: Deposits, chunk: int = 4096):
+    """All-pairs deposit accumulation, chunked over deposits.
+
+    Returns:
+      d_nphot: (C,) photon count increments (reference ``newN++``),
+      d_tao:   (C, 3) flux increments ``wgt * sum(flux) / pi``.
+    """
+    D = dep.pos.shape[0]
+    pad = (-D) % chunk
+    dp = jnp.pad(dep.pos, ((0, pad), (0, 0)))
+    dn = jnp.pad(dep.n, ((0, pad), (0, 0)))
+    df = jnp.pad(dep.flux, ((0, pad), (0, 0)))
+    dv = jnp.pad(dep.valid, (0, pad))
+    n_chunks = (D + pad) // chunk
+
+    def body(carry, idx):
+        cnt, fl = carry
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
+        dc, dfl = _chunk_contrib(
+            hp.pos, hp.n, hp.r2, hp.valid, sl(dp), sl(dn), sl(df), sl(dv)
+        )
+        return (cnt + dc, fl + dfl), None
+
+    (cnt, fl), _ = jax.lax.scan(
+        body,
+        (jnp.zeros(hp.capacity, dep.pos.dtype),
+         jnp.zeros((hp.capacity, 3), dep.pos.dtype)),
+        jnp.arange(n_chunks),
+    )
+    d_tao = hp.wgt * fl / jnp.pi                         # Raytracer.h:156
+    return cnt, d_tao

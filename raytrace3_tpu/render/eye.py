@@ -1,0 +1,161 @@
+"""PASS 1 — eye trace: bounded wavefront loop emitting SPPM hit points.
+
+Reference: ``RayTracer::{GetHitPoint, ViewTrace}`` (raytracer/Raytracer.h:
+102-116, 296-357).  The reference recurses per pixel up to depth 13 and
+FOLLOWS EVERY ACTIVE LOBE deterministically: a diffuse lobe stores a HitPoint
+(Raytracer.h:312-319) and reflective/refractive lobes recurse (320-336), so a
+single pixel may own many hit points, pushed into an unbounded vector.
+
+TPU-native wavefront redesign (SURVEY.md C16, hard part (a)):
+  * ray state is a fixed ``(R, K)`` slot array (K = ``slots``); a bounce that
+    needs BOTH a reflected and a refracted continuation allocates a free slot
+    (stable-partition compaction); overflow is counted, not crashed;
+  * hit points scatter into a fixed-capacity SoA buffer via prefix-sum slot
+    assignment — the vector push_back becomes a masked scatter;
+  * depth runs as a ``lax.scan`` of ``max_depth + 1`` segments, matching the
+    reference's "check dep > MAX_DEP after the collision" accounting
+    (Raytracer.h:306-310).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import HitPoints, make_hitpoints
+from ..core.vecmath import normalize, reflect, refract
+from ..geometry.scene import Scene, intersect_scene
+
+#: Reference max trace depth (Raytracer.h:12 ``MAX_DEP 13``).
+MAX_DEPTH = 13
+#: Reference initial gather radius^2 (Raytracer.h:13 ``INIT_R2 2.0``).
+INIT_R2 = 2.0
+
+
+def eye_pass(
+    scene: Scene,
+    org: jnp.ndarray,
+    dir: jnp.ndarray,
+    capacity: int,
+    max_depth: int = MAX_DEPTH,
+    slots: int = 1,
+    init_r2: float = INIT_R2,
+    newton_fn=None,
+):
+    """Trace camera rays, return the hit-point buffer.
+
+    Args:
+      org, dir: (R, 3) primary rays in pixel-id order (pixel i = ray i).
+      capacity: hit-point buffer capacity C.
+      slots:    K ray slots per pixel (K=1 suffices for scenes whose
+                materials have at most one specular lobe — true of every
+                reference scene, Scene.h:100-113).
+    Returns:
+      (HitPoints, stats) with stats = {"count": int32, "dropped": int32}.
+    """
+    R = org.shape[0]
+    K = slots
+    dtype = org.dtype
+
+    hp = make_hitpoints(capacity, init_r2, dtype)
+    pixel_ids = jnp.arange(R, dtype=jnp.int32)
+
+    is_diff = scene.materials.is_diff()
+    is_refl = scene.materials.is_refl()
+    is_refr = scene.materials.is_refr()
+
+    def pad_slots(x, fill=0.0):
+        full = jnp.full((R, K) + x.shape[1:], fill, x.dtype)
+        return full.at[:, 0].set(x)
+
+    state = dict(
+        org=pad_slots(org),
+        dir=pad_slots(dir),
+        wgt=pad_slots(jnp.ones((R, 3), dtype)),
+        active=jnp.zeros((R, K), bool).at[:, 0].set(True),
+    )
+    buffers = (hp, jnp.int32(0), jnp.int32(0))  # (hitpoints, count, dropped)
+
+    def step(carry, _):
+        state, (hp, count, dropped) = carry
+        o = state["org"].reshape(R * K, 3)
+        d = state["dir"].reshape(R * K, 3)
+        act = state["active"].reshape(R * K)
+        wgt = state["wgt"].reshape(R * K, 3)
+
+        rec = intersect_scene(scene, o, d, newton_fn=newton_fn)
+        obj = jnp.clip(rec.obj_id, 0, scene.n_objects - 1)
+        hit = rec.hit & act
+
+        # --- store a hit point at diffuse lobes (Raytracer.h:312-319) ---
+        diff_v = hit & is_diff[obj]
+        hp_wgt = rec.color * wgt * scene.materials.diff[obj]
+        slot = count + jnp.cumsum(diff_v.astype(jnp.int32)) - 1
+        widx = jnp.where(diff_v & (slot < capacity), slot, capacity)  # drop row
+        px = jnp.broadcast_to(pixel_ids[:, None], (R, K)).reshape(R * K)
+        hp = hp.replace(
+            pos=hp.pos.at[widx].set(rec.pos, mode="drop"),
+            n=hp.n.at[widx].set(rec.n, mode="drop"),
+            wgt=hp.wgt.at[widx].set(hp_wgt, mode="drop"),
+            pixel=hp.pixel.at[widx].set(px, mode="drop"),
+            valid=hp.valid.at[widx].set(True, mode="drop"),
+        )
+        n_new = jnp.sum(diff_v.astype(jnp.int32))
+        new_count = jnp.minimum(count + n_new, capacity)
+        dropped = dropped + (count + n_new - new_count)
+
+        # --- continuations (Raytracer.h:320-336) ---
+        refl_v = hit & is_refl[obj]
+        refr_v = hit & is_refr[obj]
+        d_refl = normalize(reflect(d, rec.n))
+        w_refl = rec.color * wgt * scene.materials.refl[obj]
+        eta = jnp.where(rec.inside, scene.materials.refrn[obj],
+                        1.0 / scene.materials.refrn[obj])
+        n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
+        d_refr = normalize(refract(d, n_eff, eta))
+        w_refr = rec.color * wgt * scene.materials.refr[obj]
+
+        # Primary continuation reuses the slot; a refr continuation that
+        # coexists with refl becomes a secondary candidate for a free slot.
+        prim_v = refl_v | refr_v
+        prim_d = jnp.where(refl_v[:, None], d_refl, d_refr)
+        prim_w = jnp.where(refl_v[:, None], w_refl, w_refr)
+        sec_v = refl_v & refr_v
+
+        def shape2(x):
+            return x.reshape(R, K, *x.shape[1:])
+
+        cand_v = jnp.concatenate([shape2(prim_v), shape2(sec_v)], axis=1)
+        cand_o = jnp.concatenate([shape2(rec.pos)] * 2, axis=1)
+        cand_d = jnp.concatenate([shape2(prim_d), shape2(d_refr)], axis=1)
+        cand_w = jnp.concatenate([shape2(prim_w), shape2(w_refr)], axis=1)
+
+        if K == 1:
+            # Fast path: keep the primary, count dropped secondaries.
+            new_state = dict(
+                org=cand_o[:, :1], dir=cand_d[:, :1], wgt=cand_w[:, :1],
+                active=cand_v[:, :1],
+            )
+            dropped = dropped + jnp.sum(cand_v[:, 1].astype(jnp.int32))
+        else:
+            # Stable-partition valid candidates into the first K slots.
+            order = jnp.argsort(~cand_v, axis=1, stable=True)
+            takek = lambda a: jnp.take_along_axis(
+                a, order.reshape(R, 2 * K, *(1,) * (a.ndim - 2)), axis=1
+            )[:, :K]
+            new_state = dict(
+                org=takek(cand_o), dir=takek(cand_d), wgt=takek(cand_w),
+                active=takek(cand_v),
+            )
+            dropped = dropped + jnp.sum(cand_v.astype(jnp.int32)) - jnp.sum(
+                new_state["active"].astype(jnp.int32)
+            )
+
+        return (new_state, (hp, new_count, dropped)), None
+
+    (state, (hp, count, dropped)), _ = jax.lax.scan(
+        step, (state, buffers), None, length=max_depth + 1
+    )
+    return hp, {"count": count, "dropped": dropped}

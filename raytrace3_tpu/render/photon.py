@@ -1,0 +1,101 @@
+"""PASS 2 — photon trace: bounded vmapped photon walk emitting deposits.
+
+Reference: ``RayTracer::PhotonTrace`` (raytracer/Raytracer.h:117-209).  The
+reference recurses per photon: at a diffuse surface it deposits flux into all
+kd-tree neighbours (137-159), then Russian-roulettes EXACTLY ONE continuation
+branch (162-207) — diffuse cosine bounce, mirror, or refraction — keeping the
+reference's estimator quirk of NOT dividing by the branch probability
+(Obj.h:30-45; the de-biased variant is only commented out, Raytracer.h:
+167-176).
+
+TPU-native: the walk is a ``lax.scan`` over ``max_depth + 1`` segments with
+the whole photon batch as state; deposits stream out as a fixed-shape
+``(segments * N, ...)`` record set consumed by one deposit kernel per round —
+the kd-tree query disappears from the inner loop entirely.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sampling import cosine_hemisphere, roulette
+from ..core.types import Deposits
+from ..core.vecmath import normalize, reflect, refract
+from ..geometry.scene import Scene, intersect_scene
+from .eye import MAX_DEPTH
+
+
+def photon_trace(
+    scene: Scene,
+    key: jax.Array,
+    org: jnp.ndarray,
+    dir: jnp.ndarray,
+    flux: jnp.ndarray,
+    max_depth: int = MAX_DEPTH,
+    debias_roulette: bool = False,
+    newton_fn=None,
+) -> Deposits:
+    """Walk a photon batch; return all diffuse-interaction deposits.
+
+    Args:
+      org, dir, flux: (N, 3) photon batch from ``light.emit_photons``.
+      debias_roulette: divide the continuation flux by the branch probability
+        (the physically unbiased estimator).  Default False = reference
+        parity (Obj.h:30-45 keeps the full flux).
+    Returns:
+      Deposits with capacity D = (max_depth + 1) * N.
+    """
+    N = org.shape[0]
+    segs = max_depth + 1
+
+    diff_p, refl_p, refr_p = scene.materials.powers()
+    is_diff = scene.materials.is_diff()
+
+    def step(carry, k):
+        o, d, f, alive = carry
+        rec = intersect_scene(scene, o, d, newton_fn=newton_fn)
+        obj = jnp.clip(rec.obj_id, 0, scene.n_objects - 1)
+        hit = rec.hit & alive
+
+        # Deposit at diffuse surfaces with the ARRIVAL flux (Raytracer.h:156
+        # deposits before the albedo multiply).
+        dep_valid = hit & is_diff[obj]
+        dep = (rec.pos, rec.n, f, dep_valid)
+
+        # Roulette one continuation branch (Raytracer.h:162-207).
+        k_r, k_d = jax.random.split(k)
+        branch = roulette(k_r, diff_p[obj], refl_p[obj], refr_p[obj])
+
+        d_diff = cosine_hemisphere(k_d, rec.n)            # Vec3.h:90-98 law
+        d_refl = normalize(reflect(d, rec.n))
+        eta = jnp.where(rec.inside, scene.materials.refrn[obj],
+                        1.0 / scene.materials.refrn[obj])
+        n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
+        d_refr = normalize(refract(d, n_eff, eta))
+
+        new_d = jnp.where(
+            (branch == 0)[:, None], d_diff,
+            jnp.where((branch == 1)[:, None], d_refl, d_refr),
+        )
+        new_f = rec.color * f                              # every branch
+        if debias_roulette:
+            allp = diff_p[obj] + refl_p[obj] + refr_p[obj]
+            bp = jnp.where(
+                branch == 0, diff_p[obj],
+                jnp.where(branch == 1, refl_p[obj], refr_p[obj]),
+            ) / jnp.where(allp > 0, allp, 1.0)
+            new_f = new_f / jnp.where(bp > 1e-8, bp, 1.0)[:, None]
+
+        return (rec.pos, new_d, new_f, hit), dep
+
+    keys = jax.random.split(key, segs)
+    _, (dp, dn, df, dv) = jax.lax.scan(
+        step, (org, dir, flux, jnp.ones((N,), bool)), keys
+    )
+    return Deposits(
+        pos=dp.reshape(segs * N, 3),
+        n=dn.reshape(segs * N, 3),
+        flux=df.reshape(segs * N, 3),
+        valid=dv.reshape(segs * N),
+    )

@@ -1,0 +1,148 @@
+"""SPPM engine: photon rounds, progressive radius update, image estimate.
+
+Reference: ``RayTracer::{PhotonMap, render}`` + ``HitPoint::update``
+(raytracer/Raytracer.h:69-79, 210-295, 366-387) and the tone map ``toInt``
+(Raytracer.h:24-26).
+
+Progressive-update modes:
+  * ``"sppm"`` (default) — the textbook PPM shrink: when a hit point gains
+    dN photons in a round, k = (N + a dN) / (N + dN); r2 *= k;
+    tao = (tao + dtao) * k; N += a dN, with a = 0.7 (Raytracer.h:45).
+  * ``"reference"`` — bit-faithful to the reference AS EXECUTED: the guard
+    ``if (N <= 0 || newN <= 0) return;`` (Raytracer.h:74) makes the whole
+    update unreachable (N starts at 0 and is only ever incremented inside the
+    guarded branch), so radii never shrink and tao accumulates unscaled.
+    SURVEY.md documents the surrounding quirks; this dead-code one is why the
+    reference is effectively fixed-radius PPM averaged over jittered passes.
+
+The per-round loop is a ``lax.scan`` carrying the full hit-point state —
+pass-level purity (key -> image) is what makes checkpoint/resume and
+multi-chip pass parallelism trivial (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import HitPoints
+from ..geometry.scene import Scene
+from .deposit import deposit_bruteforce
+from .eye import INIT_R2, MAX_DEPTH, eye_pass
+from .light import emit_photons
+from .photon import photon_trace
+
+#: Reference radius-shrink factor (Raytracer.h:45).
+ALPHA = 0.7
+
+
+def ppm_update(hp: HitPoints, d_nphot: jnp.ndarray, d_tao: jnp.ndarray,
+               mode: str = "sppm", alpha: float = ALPHA) -> HitPoints:
+    """Fold one round's deposits into the hit-point state."""
+    if mode == "reference":
+        return hp.replace(tao=hp.tao + d_tao, nphot=hp.nphot + d_nphot)
+    if mode != "sppm":
+        raise ValueError(f"unknown ppm update mode: {mode}")
+    has_new = d_nphot > 0.0
+    denom = jnp.where(has_new, hp.nphot + d_nphot, 1.0)
+    k = jnp.where(has_new, (hp.nphot + alpha * d_nphot) / denom, 1.0)
+    return hp.replace(
+        r2=hp.r2 * k,
+        tao=(hp.tao + d_tao) * k[:, None],
+        nphot=hp.nphot + alpha * d_nphot,
+    )
+
+
+def photon_rounds(
+    scene: Scene,
+    key: jax.Array,
+    hp: HitPoints,
+    n_rounds: int,
+    photons_per_round: int,
+    max_depth: int = MAX_DEPTH,
+    update_mode: str = "sppm",
+    deposit_fn=deposit_bruteforce,
+    newton_fn=None,
+) -> HitPoints:
+    """Run the photon-mapping rounds (reference PhotonMap, Raytracer.h:210-295).
+
+    ``photons_per_round`` photons are emitted PER LIGHT each round (the
+    reference's ``onetime`` = 100, Raytracer.h:218; we default much larger
+    rounds — same estimator, radically better device utilisation).
+    """
+
+    def round_body(hp, k):
+        ke, kt = jax.random.split(k)
+        org, dir, flux = emit_photons(
+            ke, scene.light_pos, scene.light_color, photons_per_round
+        )
+        dep = photon_trace(scene, kt, org, dir, flux, max_depth,
+                           newton_fn=newton_fn)
+        d_n, d_tao = deposit_fn(hp, dep)
+        return ppm_update(hp, d_n, d_tao, update_mode), None
+
+    keys = jax.random.split(key, n_rounds)
+    hp, _ = jax.lax.scan(round_body, hp, keys)
+    return hp
+
+
+def estimate_image(hp: HitPoints, n_pixels: int, total_photons: int) -> jnp.ndarray:
+    """Radiance per pixel from hit-point statistics.
+
+    Reference: Raytracer.h:281-294: pic[px] += tao / (pi * r2 * cnt*onetime),
+    summed over the pixel's hit points.  Returns (n_pixels, 3).
+    """
+    scale = jnp.where(
+        hp.valid, 1.0 / (jnp.pi * hp.r2 * total_photons), 0.0
+    )
+    contrib = hp.tao * scale[:, None]
+    img = jnp.zeros((n_pixels, 3), hp.tao.dtype)
+    idx = jnp.where(hp.valid, hp.pixel, n_pixels)
+    return img.at[idx].add(contrib, mode="drop")
+
+
+def render_pass(
+    scene: Scene,
+    cam_org: jnp.ndarray,
+    cam_dir: jnp.ndarray,
+    key: jax.Array,
+    hitpoint_capacity: int,
+    n_rounds: int,
+    photons_per_round: int,
+    max_depth: int = MAX_DEPTH,
+    slots: int = 1,
+    init_r2: float = INIT_R2,
+    update_mode: str = "sppm",
+    deposit_fn=deposit_bruteforce,
+    newton_fn=None,
+):
+    """One full SPPM pass: eye trace -> photon rounds -> pixel estimate.
+
+    Reference: RayTracer::render (Raytracer.h:366-387).  Pure function of
+    (scene params, camera rays, key) -> (image, stats); jit/vmap/grad-safe.
+
+    Returns (image (R, 3), stats dict).
+    """
+    hp, stats = eye_pass(
+        scene, cam_org, cam_dir, hitpoint_capacity, max_depth, slots,
+        init_r2, newton_fn=newton_fn,
+    )
+    hp = photon_rounds(
+        scene, key, hp, n_rounds, photons_per_round, max_depth,
+        update_mode, deposit_fn, newton_fn,
+    )
+    img = estimate_image(hp, cam_org.shape[0], n_rounds * photons_per_round)
+    stats = dict(stats)
+    stats["mean_r2"] = jnp.sum(jnp.where(hp.valid, hp.r2, 0.0)) / jnp.maximum(
+        jnp.sum(hp.valid.astype(jnp.int32)), 1
+    )
+    return img, stats
+
+
+def tonemap(x: jnp.ndarray) -> jnp.ndarray:
+    """Reference tone map + gamma (Raytracer.h:24-26):
+    toInt(x) = floor((1 - e^-x)^(1/2.2) * 255 + 0.5), returned as uint8."""
+    v = jnp.power(1.0 - jnp.exp(-jnp.maximum(x, 0.0)), 1.0 / 2.2)
+    return jnp.clip(jnp.floor(v * 255.0 + 0.5), 0, 255).astype(jnp.uint8)

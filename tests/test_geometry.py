@@ -1,0 +1,154 @@
+"""Geometry unit tests: analytic plane/sphere cases, AABB vs brute force,
+texture bilinear vs scipy (reference behaviours cited from raytracer/Obj.h,
+Bezier.h, Element.h)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytrace3_tpu.core.vecmath import MAX_DIST
+from raytrace3_tpu.geometry.aabb import aabb_from_points, slab_test
+from raytrace3_tpu.geometry.plane import intersect_planes, make_planes, plane_uv
+from raytrace3_tpu.geometry.sphere import intersect_spheres, make_spheres
+from raytrace3_tpu.textures.texture import sample_bilinear_wrap
+
+
+class TestPlane:
+    def test_axis_plane_hit(self):
+        planes = make_planes([(0, 0, 5)], [(0, 0, 1)])
+        org = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 10.0], [0.0, 0.0, 0.0]])
+        dir = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+        t, hit = intersect_planes(org, dir, planes)
+        np.testing.assert_allclose(np.asarray(t)[:2, 0], [5.0, 5.0], rtol=1e-6)
+        assert not bool(hit[2, 0])  # parallel ray misses (Obj.h:69)
+
+    def test_behind_origin_misses(self):
+        planes = make_planes([(0, 0, 5)], [(0, 0, 1)])
+        t, hit = intersect_planes(
+            jnp.asarray([[0.0, 0.0, 10.0]]), jnp.asarray([[0.0, 0.0, 1.0]]), planes
+        )
+        assert not bool(hit[0, 0])
+        assert float(t[0, 0]) >= MAX_DIST * 0.99
+
+    def test_oblique_hit_distance(self):
+        planes = make_planes([(0, 0, 2)], [(0, 0, 1)])
+        d = jnp.asarray([[0.6, 0.0, 0.8]])
+        t, hit = intersect_planes(jnp.zeros((1, 3)), d, planes)
+        np.testing.assert_allclose(float(t[0, 0]), 2.0 / 0.8, rtol=1e-6)
+
+    def test_uv_swap_quirk(self):
+        """u is scaled by |texV|=300 and v by |texU|=400 (Obj.h:97-98)."""
+        planes = make_planes([(0, 0, 0)], [(0, 1, 0)])  # ndir=1, udex=2, vdex=0
+        pos = jnp.asarray([[40.0, 0.0, 30.0]])
+        u, v = plane_uv(pos, planes, jnp.asarray([0]))
+        np.testing.assert_allclose(float(u[0]), 0.5 + 30.0 / 300.0, rtol=1e-5)
+        np.testing.assert_allclose(float(v[0]), 0.5 + 40.0 / 400.0, rtol=1e-5)
+
+
+class TestSphere:
+    def test_outside_hit_near_root(self):
+        s = make_spheres([(0, 0, 10)], [2.0])
+        t, hit, inside = intersect_spheres(
+            jnp.zeros((1, 3)), jnp.asarray([[0.0, 0.0, 1.0]]), s
+        )
+        assert bool(hit[0, 0]) and not bool(inside[0, 0])
+        np.testing.assert_allclose(float(t[0, 0]), 8.0, rtol=1e-6)
+
+    def test_inside_hit_far_root(self):
+        s = make_spheres([(0, 0, 0)], [2.0])
+        t, hit, inside = intersect_spheres(
+            jnp.zeros((1, 3)), jnp.asarray([[0.0, 0.0, 1.0]]), s
+        )
+        assert bool(hit[0, 0]) and bool(inside[0, 0])
+        np.testing.assert_allclose(float(t[0, 0]), 2.0, rtol=1e-6)
+
+    def test_miss(self):
+        s = make_spheres([(0, 5, 10)], [2.0])
+        t, hit, _ = intersect_spheres(
+            jnp.zeros((1, 3)), jnp.asarray([[0.0, 0.0, 1.0]]), s
+        )
+        assert not bool(hit[0, 0])
+
+    def test_behind(self):
+        s = make_spheres([(0, 0, -10)], [2.0])
+        _, hit, _ = intersect_spheres(
+            jnp.zeros((1, 3)), jnp.asarray([[0.0, 0.0, 1.0]]), s
+        )
+        assert not bool(hit[0, 0])
+
+    def test_grazing_tangent_rejected(self):
+        """det2 < M_EPS is a miss (Obj.h:117)."""
+        s = make_spheres([(0, 2, 10)], [2.0])
+        _, hit, _ = intersect_spheres(
+            jnp.zeros((1, 3)), jnp.asarray([[0.0, 0.0, 1.0]]), s
+        )
+        assert not bool(hit[0, 0])
+
+
+class TestAABB:
+    def test_vs_bruteforce(self, rng):
+        pts = rng.uniform(-1, 1, size=(8, 3)).astype(np.float32)
+        pmin, pmax = aabb_from_points(jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(pmin), pts.min(0))
+        np.testing.assert_allclose(np.asarray(pmax), pts.max(0))
+
+        org = rng.uniform(-5, 5, size=(256, 3)).astype(np.float32)
+        dir = rng.normal(size=(256, 3)).astype(np.float32)
+        dir /= np.linalg.norm(dir, axis=-1, keepdims=True)
+        got = np.asarray(slab_test(jnp.asarray(org), jnp.asarray(dir), pmin, pmax))
+
+        # brute force: sample many t, check box membership
+        ts = np.linspace(0, 20, 4001)[None, :, None]
+        p = org[:, None, :] + ts * dir[:, None, :]
+        inbox = ((p >= pts.min(0) - 1e-6) & (p <= pts.max(0) + 1e-6)).all(-1).any(-1)
+        # slab test may also accept exact-boundary grazers brute force misses
+        assert (got | ~inbox).all()  # no false negatives
+        assert (got == inbox).mean() > 0.98
+
+    def test_ray_inside_box(self):
+        pmin = jnp.asarray([-1.0, -1.0, -1.0])
+        pmax = jnp.asarray([1.0, 1.0, 1.0])
+        hit = slab_test(jnp.zeros((1, 3)), jnp.asarray([[1.0, 0.0, 0.0]]), pmin, pmax)
+        assert bool(hit[0])
+
+    def test_axis_parallel_ray(self):
+        pmin = jnp.asarray([2.0, -1.0, -1.0])
+        pmax = jnp.asarray([3.0, 1.0, 1.0])
+        hit = slab_test(
+            jnp.asarray([[0.0, 0.0, 0.0]]), jnp.asarray([[1.0, 0.0, 0.0]]), pmin, pmax
+        )
+        assert bool(hit[0])
+        miss = slab_test(
+            jnp.asarray([[0.0, 5.0, 0.0]]), jnp.asarray([[1.0, 0.0, 0.0]]), pmin, pmax
+        )
+        assert not bool(miss[0])
+
+
+class TestTexture:
+    def test_bilinear_matches_scipy(self, rng):
+        from scipy.ndimage import map_coordinates
+
+        tex = rng.uniform(size=(32, 48, 3)).astype(np.float32)
+        u = rng.uniform(0.02, 0.95, size=200).astype(np.float32)
+        v = rng.uniform(0.02, 0.95, size=200).astype(np.float32)
+        got = np.asarray(
+            sample_bilinear_wrap(jnp.asarray(tex), jnp.asarray(u), jnp.asarray(v))
+        )
+        # interior points: plain bilinear at (u*rows, v*cols) with the
+        # reference's convention that texel centres sit at integer coords
+        want = np.stack(
+            [
+                map_coordinates(tex[..., c], [u * 32, v * 48], order=1, mode="grid-wrap")
+                for c in range(3)
+            ],
+            -1,
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_wraparound(self):
+        tex = jnp.asarray(np.arange(12, dtype=np.float32).reshape(2, 2, 3))
+        a = np.asarray(sample_bilinear_wrap(tex, jnp.asarray([0.3]), jnp.asarray([0.7])))
+        b = np.asarray(
+            sample_bilinear_wrap(tex, jnp.asarray([1.3]), jnp.asarray([-0.3]))
+        )
+        np.testing.assert_allclose(a, b, rtol=1e-5)
