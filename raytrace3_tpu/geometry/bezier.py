@@ -191,6 +191,7 @@ def intersect_bezier(
     restarts: int = DEFAULT_RESTART_GRID,
     patch_prune: bool = True,
     newton_fn=None,
+    compact_frac: float = 1.0,
 ):
     """Nearest ray-object hit over all patches.
 
@@ -199,22 +200,48 @@ def intersect_bezier(
     that zeroes pruned lanes), min-t reduce, normal = Su x Sv flipped toward
     the viewer.
 
+    ``compact_frac`` < 1 enables RAY COMPACTION: only rays whose slab test
+    passes the object AABB are gathered (static capacity = frac * R) and run
+    through Newton; results scatter back.  The reference gets the same
+    pruning for free from its per-ray branch (Bezier.h:244); on TPU masking
+    alone saves nothing, so we compact.  Overflowing rays beyond the
+    capacity are treated as misses (size the fraction generously: the
+    teapot subtends well under 25% of either pass's rays).
+
     Returns (t, hit, u, v, n): t (R,), hit (R,), u/v (R,), n (R, 3).
     ``newton_fn`` lets callers swap in the Pallas kernel; signature matches
     :func:`newton_patch_solve` restricted to (org, dir, ctrl).
     """
+    R = org.shape[0]
+    B = obj.num_patches
     ctrl = obj.ctrl
-    flat = ctrl.reshape(ctrl.shape[0], 16, 3)
+    flat = ctrl.reshape(B, 16, 3)
     pmin, pmax = aabb_from_points(flat)                 # (B, 3) each
     obj_min = jnp.min(pmin, axis=0)
     obj_max = jnp.max(pmax, axis=0)
 
     obj_gate = slab_test(org, dir, obj_min, obj_max)    # (R,)
 
-    if newton_fn is None:
-        t, u, v, hit = newton_patch_solve(org, dir, ctrl, iters, restarts)
+    solve = (
+        (lambda o, d: newton_patch_solve(o, d, ctrl, iters, restarts))
+        if newton_fn is None
+        else (lambda o, d: newton_fn(o, d, ctrl))
+    )
+
+    cap = R if compact_frac >= 1.0 else max(8, int(R * compact_frac))
+    if cap < R:
+        idx = jnp.nonzero(obj_gate, size=cap, fill_value=R)[0]    # (cap,)
+        safe = jnp.minimum(idx, R - 1)
+        t_c, u_c, v_c, hit_c = solve(org[safe], dir[safe])
+        scat = lambda x, fill: jnp.full((R, B), fill, x.dtype).at[idx].set(
+            x, mode="drop"
+        )
+        t = scat(t_c, MAX_DIST)
+        u = scat(u_c, 0.0)
+        v = scat(v_c, 0.0)
+        hit = scat(hit_c, False)
     else:
-        t, u, v, hit = newton_fn(org, dir, ctrl)
+        t, u, v, hit = solve(org, dir)
 
     if patch_prune:
         patch_gate = slab_test(

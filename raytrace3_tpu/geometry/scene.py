@@ -41,6 +41,13 @@ class Scene:
     #: (u=surface u, v=ray distance t) instead of (u, v).  On by default for
     #: parity; set False for the sane mapping.
     bezier_uv_quirk: bool = flax.struct.field(pytree_node=False, default=True)
+    #: Fraction of rays gathered through the object-AABB compaction before
+    #: the Newton solve (1.0 = dense, no compaction).
+    bezier_compact_frac: float = flax.struct.field(pytree_node=False, default=1.0)
+    #: Newton budget (reference: 10 iters x 50 random restarts, Bezier.h:6,115;
+    #: we default 10 iters x 4x4 stratified restarts).
+    newton_iters: int = flax.struct.field(pytree_node=False, default=10)
+    newton_restarts: int = flax.struct.field(pytree_node=False, default=4)
 
     @property
     def n_planes(self) -> int:
@@ -75,8 +82,11 @@ def intersect_scene(scene: Scene, org: jnp.ndarray, dir: jnp.ndarray,
 
     parts = [tp, ts]
     if scene.has_bezier:
-        tb, hb, ub, vb, nb = intersect_bezier(org, dir, scene.bezier,
-                                              newton_fn=newton_fn)
+        tb, hb, ub, vb, nb = intersect_bezier(
+            org, dir, scene.bezier,
+            iters=scene.newton_iters, restarts=scene.newton_restarts,
+            newton_fn=newton_fn, compact_frac=scene.bezier_compact_frac,
+        )
         parts.append(jnp.where(hb, tb, MAX_DIST)[:, None])
     t_all = jnp.concatenate(parts, axis=1)                     # (R, N)
 
