@@ -1,0 +1,114 @@
+"""Command-line renderer.
+
+Reference: ``main()`` (raytracer/main.cpp:19-42) — a hard-coded entry point
+with zero flags that renders one scene forever.  Here: named scenes and
+presets, every constant a flag, checkpoint/resume, metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rt3", description="TPU-native differentiable SPPM renderer"
+    )
+    p.add_argument("--preset", default=None,
+                   help="named config preset (cornell128/specular256/"
+                        "bezier256/teapot512/sharded10m)")
+    p.add_argument("--scene", default=None,
+                   help="scene name (overrides preset scene)")
+    p.add_argument("--res", type=int, default=None, help="square resolution")
+    p.add_argument("--passes", type=int, default=None)
+    p.add_argument("--rounds", type=int, default=None)
+    p.add_argument("--photons", type=int, default=None,
+                   help="photons per round per light")
+    p.add_argument("--depth", type=int, default=None, help="max trace depth")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--update-mode", choices=["sppm", "reference"], default=None)
+    p.add_argument("--deposit", choices=["bruteforce", "grid"], default=None)
+    p.add_argument("--pallas", action="store_true",
+                   help="use the Pallas TPU kernels")
+    p.add_argument("--out", default=None, help="output PNG path")
+    p.add_argument("--checkpoint", default=None, help="checkpoint file path")
+    p.add_argument("--checkpoint-every", type=int, default=None)
+    p.add_argument("--preview-every", type=int, default=0,
+                   help="write the running-average PNG every N passes")
+    p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard passes/photons over all local devices")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(asctime)s %(name)s %(message)s",
+    )
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from .utils.config import RenderConfig, get_config
+
+    cfg = get_config(args.preset) if args.preset else RenderConfig()
+    over = {}
+    if args.scene: over["scene"] = args.scene
+    if args.res: over.update(width=args.res, height=args.res)
+    if args.passes is not None: over["passes"] = args.passes
+    if args.rounds is not None: over["rounds"] = args.rounds
+    if args.photons is not None: over["photons_per_round"] = args.photons
+    if args.depth is not None: over["max_depth"] = args.depth
+    if args.seed is not None: over["seed"] = args.seed
+    if args.update_mode: over["update_mode"] = args.update_mode
+    if args.deposit: over["deposit"] = args.deposit
+    if args.pallas: over["use_pallas"] = True
+    if args.out: over["out"] = args.out
+    if args.checkpoint_every is not None:
+        over["checkpoint_every"] = args.checkpoint_every
+    cfg = cfg.replace(**over)
+
+    from .render import driver
+    from .utils.image import save_png
+
+    newton_fn = deposit_fn = None
+    if cfg.use_pallas:
+        from .ops.newton_pallas import make_newton_pallas
+        newton_fn = make_newton_pallas(cfg.newton_iters, cfg.newton_restarts)
+    if cfg.deposit == "grid":
+        from .ops.grid import make_grid_deposit
+        deposit_fn = make_grid_deposit()
+
+    if args.sharded:
+        from .parallel.shard import render_sharded
+        img, metrics = render_sharded(cfg, newton_fn=newton_fn,
+                                      deposit_fn=deposit_fn)
+    else:
+        img, metrics = driver.render(
+            cfg,
+            checkpoint_path=args.checkpoint,
+            preview_every=args.preview_every,
+            metrics_jsonl=args.metrics_jsonl,
+            newton_fn=newton_fn,
+            deposit_fn=deposit_fn,
+        )
+    save_png(cfg.out, img)
+    m = metrics.get("meter", {})
+    print(
+        f"wrote {cfg.out}  passes={m.get('passes')}  "
+        f"photons/s={m.get('photons_per_s', 0):.3g}  "
+        f"Mrays/s={m.get('mrays_per_s', 0):.2f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

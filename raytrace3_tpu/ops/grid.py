@@ -1,0 +1,112 @@
+"""Uniform-grid photon deposit: the kd-tree replacement for large scenes.
+
+Reference: FLANN ``KDTreeSingleIndex`` + per-deposit ``radiusSearch``
+(raytracer/Raytracer.h:92-98,144-159,370-381).  BASELINE.json names this
+replacement explicitly: "radius-search photon gathering (grid-hash replacing
+the flann kdtree)".
+
+TPU-native design — note the INVERSION relative to the reference: the
+reference searches hit points around each photon (scatter-shaped, contended);
+we bin the PHOTON DEPOSITS into a uniform grid each round and let every HIT
+POINT gather from its 27 neighbouring cells (reduce-shaped, contention-free).
+Cell size = the global search radius sqrt(INIT_R2) (the reference's fixed
+``searchR2`` quirk #6, Raytracer.h:85) so every qualifying deposit lies in
+the 3x3x3 neighbourhood; the exact per-hit-point ``dist^2 <= r2`` and
+normal-agreement re-checks (Raytracer.h:154) remain the true filter.
+
+Static shapes: sorting deposits by cell id gives contiguous per-cell runs; a
+``searchsorted`` start table + a fixed ``max_per_cell`` window bound the
+gather.  Overfull cells drop the tail (counted in the returned stats-free
+design by sizing the window generously; the brute-force op is the exact
+oracle the tests compare against).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Deposits, HitPoints
+from ..render.deposit import NORMAL_DOT_MIN
+
+#: Default world bounds covering the reference scene (Cornell interior
+#: [0,100]^2 x [0,170] plus the teapot at z<=150, Scene.h:116-154).
+DEFAULT_LO = (-20.0, -20.0, -20.0)
+DEFAULT_HI = (120.0, 120.0, 180.0)
+
+
+def make_grid_deposit(
+    lo=DEFAULT_LO,
+    hi=DEFAULT_HI,
+    cell: float = math.sqrt(2.0),
+    max_per_cell: int = 64,
+):
+    """Build a deposit_fn(hp, dep) -> (d_nphot, d_tao) using the grid."""
+    lo = jnp.asarray(lo, jnp.float32)
+    hi = jnp.asarray(hi, jnp.float32)
+    dims = tuple(int(x) for x in jnp.ceil((hi - lo) / cell))
+    nx, ny, nz = dims
+    n_cells = nx * ny * nz
+
+    def cell_coords(p):
+        c = jnp.floor((p - lo) / cell).astype(jnp.int32)
+        return jnp.clip(c, 0, jnp.asarray([nx - 1, ny - 1, nz - 1]))
+
+    def cell_id(c):
+        return c[..., 0] + nx * (c[..., 1] + ny * c[..., 2])
+
+    def deposit_fn(hp: HitPoints, dep: Deposits):
+        D = dep.pos.shape[0]
+        dcell = jnp.where(
+            dep.valid, cell_id(cell_coords(dep.pos)), n_cells
+        )  # invalid -> sentinel cell, sorted to the end
+        order = jnp.argsort(dcell)
+        dcell_s = dcell[order]
+        dpos = dep.pos[order]
+        dn = dep.n[order]
+        dflux = dep.flux[order]
+
+        # start[i] = first sorted index with cell >= i
+        starts = jnp.searchsorted(dcell_s, jnp.arange(n_cells + 1))
+
+        hcell = cell_coords(hp.pos)                         # (C, 3)
+        win = jnp.arange(max_per_cell)
+
+        def neighbour(carry, offset):
+            cnt, fl = carry
+            nb = hcell + offset                             # (C, 3)
+            inb = ((nb >= 0) & (nb < jnp.asarray([nx, ny, nz]))).all(-1)
+            nbid = jnp.clip(cell_id(nb), 0, n_cells - 1)
+            s = starts[nbid]
+            e = starts[nbid + 1]
+            idx = s[:, None] + win[None, :]                 # (C, M)
+            m = (idx < e[:, None]) & inb[:, None]
+            idx = jnp.minimum(idx, D - 1)
+            p = dpos[idx]                                   # (C, M, 3)
+            nrm = dn[idx]
+            fx = dflux[idx]
+            d2 = jnp.sum((p - hp.pos[:, None, :]) ** 2, -1)
+            ok = (
+                m
+                & (d2 <= hp.r2[:, None])
+                & (jnp.einsum("cmx,cx->cm", nrm, hp.n) > NORMAL_DOT_MIN)
+                & hp.valid[:, None]
+            )
+            w = ok.astype(fx.dtype)
+            return (cnt + w.sum(-1), fl + jnp.einsum("cm,cmx->cx", w, fx)), None
+
+        offsets = jnp.stack(
+            jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), -1
+        ).reshape(27, 3)
+        (cnt, fl), _ = jax.lax.scan(
+            neighbour,
+            (jnp.zeros(hp.capacity, dep.pos.dtype),
+             jnp.zeros((hp.capacity, 3), dep.pos.dtype)),
+            offsets,
+        )
+        return cnt, hp.wgt * fl / jnp.pi                    # Raytracer.h:156
+
+    return deposit_fn

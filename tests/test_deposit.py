@@ -1,0 +1,86 @@
+"""Deposit-op tests: the grid-hash gather must agree exactly with the
+brute-force all-pairs oracle (which itself mirrors the reference's kd-tree
+semantics, raytracer/Raytracer.h:144-159)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytrace3_tpu.core.types import Deposits, make_hitpoints
+from raytrace3_tpu.ops.grid import make_grid_deposit
+from raytrace3_tpu.render.deposit import deposit_bruteforce
+
+
+def _random_case(rng, C=300, D=700):
+    hp = make_hitpoints(C, init_r2=2.0)
+    pos = rng.uniform(0, 40, size=(C, 3)).astype(np.float32)
+    n = rng.normal(size=(C, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    wgt = rng.uniform(0, 1, size=(C, 3)).astype(np.float32)
+    valid = rng.uniform(size=C) > 0.1
+    r2 = rng.uniform(0.5, 2.0, size=C).astype(np.float32)
+    hp = hp.replace(
+        pos=jnp.asarray(pos), n=jnp.asarray(n), wgt=jnp.asarray(wgt),
+        valid=jnp.asarray(valid), r2=jnp.asarray(r2),
+    )
+    dpos = rng.uniform(0, 40, size=(D, 3)).astype(np.float32)
+    dn = rng.normal(size=(D, 3)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=-1, keepdims=True)
+    dep = Deposits(
+        pos=jnp.asarray(dpos),
+        n=jnp.asarray(dn),
+        flux=jnp.asarray(rng.uniform(0, 5, size=(D, 3)).astype(np.float32)),
+        valid=jnp.asarray(rng.uniform(size=D) > 0.2),
+    )
+    return hp, dep
+
+
+def _numpy_oracle(hp, dep):
+    """Direct transcription of the reference neighbour filter."""
+    pos = np.asarray(hp.pos); n = np.asarray(hp.n); r2 = np.asarray(hp.r2)
+    wgt = np.asarray(hp.wgt); hv = np.asarray(hp.valid)
+    dp = np.asarray(dep.pos); dn = np.asarray(dep.n)
+    df = np.asarray(dep.flux); dv = np.asarray(dep.valid)
+    d2 = ((pos[:, None, :] - dp[None, :, :]) ** 2).sum(-1)
+    ndot = n @ dn.T
+    m = (d2 <= r2[:, None]) & (ndot > 1e-3) & dv[None, :] & hv[:, None]
+    cnt = m.sum(1).astype(np.float32)
+    tao = wgt * (m.astype(np.float32) @ df) / np.pi
+    return cnt, tao
+
+
+def test_bruteforce_matches_numpy_oracle(rng):
+    hp, dep = _random_case(rng)
+    cnt, tao = jax.jit(deposit_bruteforce)(hp, dep)
+    wc, wt = _numpy_oracle(hp, dep)
+    np.testing.assert_allclose(np.asarray(cnt), wc, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tao), wt, rtol=2e-4, atol=1e-4)
+
+
+def test_grid_matches_bruteforce(rng):
+    hp, dep = _random_case(rng)
+    grid_fn = make_grid_deposit(lo=(-1, -1, -1), hi=(42, 42, 42),
+                                max_per_cell=256)
+    gc, gt = jax.jit(grid_fn)(hp, dep)
+    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_grid_chunk_invariance(rng):
+    hp, dep = _random_case(rng, C=100, D=250)
+    a = deposit_bruteforce(hp, dep, chunk=64)
+    b = deposit_bruteforce(hp, dep, chunk=250)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_empty_deposits(rng):
+    hp, dep = _random_case(rng, C=50, D=100)
+    dep = dep.replace(valid=jnp.zeros_like(dep.valid))
+    for fn in (deposit_bruteforce, make_grid_deposit(lo=(-1,) * 3, hi=(42,) * 3)):
+        cnt, tao = fn(hp, dep)
+        assert float(jnp.abs(cnt).sum()) == 0.0
+        assert float(jnp.abs(tao).sum()) == 0.0

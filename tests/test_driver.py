@@ -1,0 +1,65 @@
+"""Driver tests: multi-pass determinism, checkpoint/resume exactness,
+CLI smoke (reference has none of this — SURVEY.md section 5)."""
+
+import os
+
+import jax
+import numpy as np
+
+from raytrace3_tpu.render import driver
+from raytrace3_tpu.utils.config import RenderConfig, get_config
+
+TINY = RenderConfig(
+    scene="cornell_diffuse", width=24, height=24, passes=3, rounds=2,
+    photons_per_round=512, max_depth=4, atlas_res=16,
+)
+
+
+def test_render_deterministic(tmp_path):
+    img1, m1 = driver.render(TINY)
+    img2, m2 = driver.render(TINY)
+    np.testing.assert_array_equal(img1, img2)
+    assert img1.shape == (24, 24, 3)
+    assert np.isfinite(img1).all() and img1.max() > 0
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    full_img, _ = driver.render(TINY)
+
+    # run only 1 pass, checkpointing
+    cfg1 = TINY.replace(passes=1, checkpoint_every=1)
+    driver.render(cfg1, checkpoint_path=ck)
+    # resume to 3 passes from the checkpoint
+    resumed_img, _ = driver.render(TINY.replace(checkpoint_every=1),
+                                   checkpoint_path=ck)
+    np.testing.assert_allclose(resumed_img, full_img, rtol=1e-6, atol=1e-7)
+
+
+def test_seed_changes_image():
+    img1, _ = driver.render(TINY)
+    img2, _ = driver.render(TINY.replace(seed=123))
+    assert np.abs(img1 - img2).max() > 1e-6
+
+
+def test_presets_exist():
+    for name in ["cornell128", "specular256", "bezier256", "teapot512",
+                 "sharded10m"]:
+        cfg = get_config(name)
+        assert cfg.n_pixels > 0
+
+
+def test_cli_smoke(tmp_path, monkeypatch):
+    out = str(tmp_path / "o.png")
+    from raytrace3_tpu.cli import main
+
+    rc = main([
+        "--scene", "cornell_diffuse", "--res", "16", "--passes", "1",
+        "--rounds", "1", "--photons", "256", "--depth", "3",
+        "--out", out,
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
+    from PIL import Image
+
+    assert Image.open(out).size == (16, 16)
