@@ -47,6 +47,19 @@ class Materials:
     def powers(self):
         return mean_power(self.diff), mean_power(self.refl), mean_power(self.refr)
 
+    def eta(self, obj_idx: jnp.ndarray, inside: jnp.ndarray) -> jnp.ndarray:
+        """Relative index n_from/n_to for the refraction at a hit
+        (Raytracer.h:187,332: 1/refrn entering, refrn exiting).
+
+        Guarded against refrn == 0: several reference materials pass rr=0
+        (Scene.h:100-108) — their refraction lobe is inactive so the value is
+        never used, but an unguarded 1/0 = inf poisons reverse-mode AD on
+        the masked branch.
+        """
+        rn = self.refrn[obj_idx]
+        safe = jnp.where(jnp.abs(rn) < 1e-6, 1.0, rn)
+        return jnp.where(inside, safe, 1.0 / safe)
+
 
 @flax.struct.dataclass
 class HitRecord:

@@ -25,9 +25,11 @@ import jax.numpy as jnp
 #: Reference epsilon (reference: raytracer/Vec3.h:6 ``#define M_EPS 1e-4``).
 M_EPS = 1e-4
 
-#: Large sentinel distance (reference: Vec3.h:11 ``MAX_NUM 1e20``) — kept
-#: finite and representable in float32.
-MAX_DIST = 1e18
+#: Large sentinel distance (reference: Vec3.h:11 ``MAX_NUM 1e20``).  Chosen
+#: so that squares and squared distances of sentinel-scaled positions stay
+#: finite in float32 (1e9^2 = 1e18 << 3.4e38): overflow on masked miss lanes
+#: would otherwise poison reverse-mode AD with inf * 0 = NaN partials.
+MAX_DIST = 1e9
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -53,10 +55,13 @@ def normalize(v: jnp.ndarray) -> jnp.ndarray:
 
     Mirrors Vec3::Normalize (Vec3.h:48-55) which is a no-op when |v| < M_EPS
     — important because degenerate directions flow through masked-out lanes.
+    The sqrt is taken on a guarded value so reverse-mode AD never sees
+    sqrt'(0) = inf on the masked branch (the classic where-grad trap).
     """
-    m = norm(v)[..., None]
-    safe = jnp.where(m < M_EPS, 1.0, m)
-    return jnp.where(m < M_EPS, v, v / safe)
+    n2 = norm2(v)[..., None]
+    small = n2 < M_EPS * M_EPS
+    m = jnp.sqrt(jnp.where(small, 1.0, n2))
+    return jnp.where(small, v, v / m)
 
 
 def dist2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -83,9 +88,12 @@ def refract(d: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
     eta = jnp.broadcast_to(jnp.asarray(eta, d.dtype), d.shape[:-1])
     cos_i = -dot(n, d)
     cos_r2 = 1.0 - (1.0 - cos_i * cos_i) * eta * eta
-    refr = d * eta[..., None] + n * (eta * cos_i - jnp.sqrt(jnp.maximum(cos_r2, 0.0)))[..., None]
+    ok = cos_r2 > M_EPS
+    # sqrt argument guarded on the TIR branch so its grad stays finite there.
+    cos_r = jnp.sqrt(jnp.where(ok, cos_r2, 1.0))
+    refr = d * eta[..., None] + n * (eta * cos_i - cos_r)[..., None]
     tir = reflect(d, n)
-    return jnp.where((cos_r2 > M_EPS)[..., None], refr, tir)
+    return jnp.where(ok[..., None], refr, tir)
 
 
 def anormal(v: jnp.ndarray) -> jnp.ndarray:

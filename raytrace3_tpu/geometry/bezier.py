@@ -153,9 +153,16 @@ def newton_patch_solve(
         dt, du, dv, ok = solve3_columns(
             jnp.broadcast_to(d, r.shape), -su, -sv, -r
         )
-        t2 = t + jnp.where(ok, dt, 0.0)
-        u2 = u + jnp.where(ok, du, 0.0)
-        v2 = v + jnp.where(ok, dv, 0.0)
+        # Clamp the update and the iterate: diverging restarts otherwise
+        # overflow in masked-out lanes, and reverse-mode AD turns those
+        # inf * 0 products into NaN gradients (the accept mask can't save
+        # the backward pass).  Bounds are far outside any accepted root.
+        dt = jnp.clip(dt, -1e4, 1e4)
+        du = jnp.clip(du, -8.0, 8.0)
+        dv = jnp.clip(dv, -8.0, 8.0)
+        t2 = jnp.clip(t + jnp.where(ok, dt, 0.0), -1e4, 1e4)
+        u2 = jnp.clip(u + jnp.where(ok, du, 0.0), -8.0, 8.0)
+        v2 = jnp.clip(v + jnp.where(ok, dv, 0.0), -8.0, 8.0)
         # Re-evaluate residual at the new point (Bezier.h:133-135).
         s_new = patch_point(c, u2, v2)
         res2 = jnp.sum(((o + t2[..., None] * d) - s_new) ** 2, axis=-1)

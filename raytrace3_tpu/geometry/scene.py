@@ -95,7 +95,10 @@ def intersect_scene(scene: Scene, org: jnp.ndarray, dir: jnp.ndarray,
     t = t_all[rows, obj]
     hit = t < MAX_DIST
     obj_id = jnp.where(hit, obj, -1)
-    pos = org + t[:, None] * dir
+    # Clamp the sentinel distance before forming positions: miss lanes are
+    # fully masked downstream, but unclamped 1e9-scale positions would feed
+    # NaN partial derivatives back through squared-distance terms.
+    pos = org + jnp.minimum(t, 1e6)[:, None] * dir
 
     is_plane = obj < P
     is_sphere = (obj >= P) & (obj < P + S)

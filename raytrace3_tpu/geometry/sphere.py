@@ -51,12 +51,16 @@ def intersect_spheres(org: jnp.ndarray, dir: jnp.ndarray, spheres: Spheres):
     L = spheres.center[None, :, :] - org[:, None, :]          # (R, S, 3)
     proj = jnp.einsum("rsc,rc->rs", L, dir)                    # (R, S)
     det2 = spheres.radius[None, :] ** 2 - (jnp.sum(L * L, -1) - proj * proj)
-    det = jnp.sqrt(jnp.maximum(det2, 0.0))
+    # sqrt argument guarded by the miss condition itself: sqrt(max(x, 0))
+    # has a NaN reverse-mode derivative on every missing lane (x < 0), which
+    # matters once org/dir carry gradients (secondary rays).
+    miss = det2 < M_EPS
+    det = jnp.sqrt(jnp.where(miss, 1.0, det2))
     d1 = proj - det
     d2 = proj + det
     inside = d1 < M_EPS
     t = jnp.where(inside, d2, d1)
-    hit = (det2 >= M_EPS) & (d2 >= M_EPS)
+    hit = ~miss & (d2 >= M_EPS)
     return jnp.where(hit, t, MAX_DIST), hit, inside
 
 
@@ -67,11 +71,15 @@ def sphere_uv(pos: jnp.ndarray, spheres: Spheres, sphere_idx: jnp.ndarray):
     u = theta/pi, v = phi/(2 pi), mirrored when N . (texU x texV) < 0.
     """
     n = normalize(pos - spheres.center[sphere_idx])
-    ct = jnp.clip(dot(n, spheres.tex_v), -1.0, 1.0)
+    # Clip strictly inside [-1, 1]: arccos' diverges at the endpoints and a
+    # hard clip there yields 0 * inf = NaN in reverse-mode AD (this function
+    # runs for every ray, masked after the fact).
+    lim = 1.0 - 1e-6
+    ct = jnp.clip(dot(n, spheres.tex_v), -lim, lim)
     theta = jnp.arccos(ct)
     st = jnp.sin(theta)
     t = dot(n, spheres.tex_u) / jnp.where(st < 1e-12, 1e-12, st)
-    phi = jnp.arccos(jnp.clip(t, -1.0, 1.0))
+    phi = jnp.arccos(jnp.clip(t, -lim, lim))
     u = theta / jnp.pi
     v = phi / (2.0 * jnp.pi)
     flip = dot(n, jnp.cross(spheres.tex_u, spheres.tex_v)) < 0.0

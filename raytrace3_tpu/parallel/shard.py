@@ -1,0 +1,156 @@
+"""Sharded SPPM rendering: pass-parallel x photon-sharded over a device mesh.
+
+Reference seam being replaced: ``SPPMRayTracer::render``'s 4-thread OpenMP
+pass loop + serial canvas merge (raytracer/Raytracer.h:425-458).
+
+TPU-native layout (SURVEY.md section 2, "Parallelism strategies"):
+  * mesh axis ``pass``:   each pass-group renders an INDEPENDENT jittered
+    SPPM pass (per-group camera jitter from a folded key) — the reference's
+    thread loop, now data-parallel across chips/hosts; the canvas merge is a
+    mean over the pass axis.
+  * mesh axis ``photon``: within a pass-group, eye rays AND photons are
+    sharded; local hit-point shards are all-gathered after the eye pass, and
+    each round's deposit increments are ``psum``'d before the radius update,
+    so hit-point state stays replicated in the group.  All collectives are
+    XLA-inserted from ``shard_map`` specs — no hand-written comms.
+
+Determinism: per-device keys are folds of (pass index, shard index), so the
+sharded render equals the single-device render with the same total photon
+budget re-batched (verified in tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..core.sampling import uniform_sphere
+from ..geometry.scene import Scene
+from ..render.camera import emit_rays, look_at
+from ..render.deposit import deposit_bruteforce
+from ..render.eye import eye_pass
+from ..render.sppm import estimate_image, photon_rounds
+from ..utils.config import RenderConfig
+from .mesh import PASS_AXIS, PHOTON_AXIS, make_mesh
+
+
+def make_sharded_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
+                         mesh: Mesh, deposit_fn=None, newton_fn=None):
+    """Build ``keys -> image`` where each pass-group renders one jittered
+    pass and the result is the mean image over the pass axis.
+
+    Returns a jitted function taking a scalar base key.
+    """
+    base_pos = jnp.asarray(base_pos, jnp.float32)
+    base_look = jnp.asarray(base_look, jnp.float32)
+    if deposit_fn is None:
+        deposit_fn = deposit_bruteforce
+    n_photon = mesh.shape[PHOTON_AXIS]
+    n_pass = mesh.shape[PASS_AXIS]
+    R = cfg.n_pixels
+    if R % n_photon:
+        raise ValueError(f"pixels {R} not divisible by photon axis {n_photon}")
+    ray_shard = R // n_photon
+    local_capacity = cfg.hitpoint_capacity // n_photon
+    if cfg.photons_per_round % n_photon:
+        raise ValueError("photons_per_round not divisible by photon axis")
+    local_photons = cfg.photons_per_round // n_photon
+
+    def pass_body(key):
+        # Identical within a pass-group; differs across the pass axis.
+        pi = jax.lax.axis_index(PASS_AXIS)
+        fi = jax.lax.axis_index(PHOTON_AXIS)
+        kpass = jax.random.fold_in(key, pi)
+        kj, kp = jax.random.split(kpass)
+
+        # Camera jitter (Raytracer.h:429-441), same for the whole group.
+        pos = base_pos + cfg.jitter * uniform_sphere(kj)
+        cam = look_at(pos, base_look, cfg.width, cfg.height)
+        org, dir = emit_rays(cam)
+
+        # --- eye pass on this device's ray shard ---
+        org_s = jax.lax.dynamic_slice_in_dim(org, fi * ray_shard, ray_shard)
+        dir_s = jax.lax.dynamic_slice_in_dim(dir, fi * ray_shard, ray_shard)
+        hp_local, _ = eye_pass(
+            scene, org_s, dir_s, local_capacity, cfg.max_depth, cfg.slots,
+            cfg.init_r2, newton_fn=newton_fn, pixel_offset=fi * ray_shard,
+        )
+        # Replicate hit points across the group (ICI all-gather).
+        hp = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, PHOTON_AXIS, axis=0, tiled=True),
+            hp_local,
+        )
+
+        # --- photon rounds: local shard of photons, psum'd deposits ---
+        kshard = jax.random.fold_in(kp, fi)
+        hp = photon_rounds(
+            scene, kshard, hp, cfg.rounds, local_photons, cfg.max_depth,
+            cfg.update_mode, deposit_fn, newton_fn, psum_axis=PHOTON_AXIS,
+        )
+        img = estimate_image(
+            hp, R, cfg.rounds * cfg.photons_per_round
+        )
+        # Mean over independent passes (the reference's canvas merge,
+        # Raytracer.h:449-458, as a psum).
+        img = jax.lax.psum(img, PASS_AXIS) / n_pass
+        return img
+
+    @jax.jit
+    def run(key):
+        f = jax.shard_map(
+            pass_body, mesh=mesh, in_specs=P(), out_specs=P(),
+            check_vma=False,
+        )
+        return f(key).reshape(cfg.height, cfg.width, 3)
+
+    return run
+
+
+def render_sharded(cfg: RenderConfig, mesh: Mesh | None = None,
+                   scene: Scene | None = None, deposit_fn=None,
+                   newton_fn=None, camera_pose=None):
+    """Full sharded progressive render (host loop over super-passes).
+
+    Each jit call renders ``n_pass`` jittered passes at once; the host loop
+    accumulates ceil(passes / n_pass) such super-passes.
+    """
+    from ..render.driver import build_scene
+    from ..utils.metrics import PassMeter
+
+    if scene is None:
+        scene = build_scene(cfg)
+    if mesh is None:
+        mesh = make_mesh()
+    if camera_pose is None:
+        base_pos = np.array([50.0, 35.0, 230.0])
+        base_look = base_pos + np.array([0.0, 0.042612, -1.0])
+    else:
+        base_pos, base_look = camera_pose
+
+    n_pass = mesh.shape[PASS_AXIS]
+    fn = make_sharded_pass_fn(scene, cfg, base_pos, base_look, mesh,
+                              deposit_fn, newton_fn)
+    n_super = max(1, (cfg.passes + n_pass - 1) // n_pass)
+    photons_per_super = (
+        n_pass * cfg.rounds * cfg.photons_per_round * scene.light_pos.shape[0]
+    )
+    rays_per_super = n_pass * (cfg.max_depth + 1) * (
+        cfg.n_pixels * cfg.slots
+        + cfg.rounds * cfg.photons_per_round * scene.light_pos.shape[0]
+    )
+    meter = PassMeter(photons_per_super, rays_per_super)
+
+    base_key = jax.random.key(cfg.seed)
+    accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    for i in range(n_super):
+        meter.start_pass()
+        img = fn(jax.random.fold_in(base_key, i))
+        accum = accum + img
+        jax.block_until_ready(accum)
+        meter.end_pass()
+    return np.asarray(accum) / n_super, {"meter": meter.summary()}

@@ -43,6 +43,7 @@ def eye_pass(
     slots: int = 1,
     init_r2: float = INIT_R2,
     newton_fn=None,
+    pixel_offset=0,
 ):
     """Trace camera rays, return the hit-point buffer.
 
@@ -52,6 +53,8 @@ def eye_pass(
       slots:    K ray slots per pixel (K=1 suffices for scenes whose
                 materials have at most one specular lobe — true of every
                 reference scene, Scene.h:100-113).
+      pixel_offset: global id of ray 0 — lets the sharded renderer trace a
+                ray shard while keeping hit points addressed by global pixel.
     Returns:
       (HitPoints, stats) with stats = {"count": int32, "dropped": int32}.
     """
@@ -60,7 +63,7 @@ def eye_pass(
     dtype = org.dtype
 
     hp = make_hitpoints(capacity, init_r2, dtype)
-    pixel_ids = jnp.arange(R, dtype=jnp.int32)
+    pixel_ids = jnp.arange(R, dtype=jnp.int32) + pixel_offset
 
     is_diff = scene.materials.is_diff()
     is_refl = scene.materials.is_refl()
@@ -111,8 +114,7 @@ def eye_pass(
         refr_v = hit & is_refr[obj]
         d_refl = normalize(reflect(d, rec.n))
         w_refl = rec.color * wgt * scene.materials.refl[obj]
-        eta = jnp.where(rec.inside, scene.materials.refrn[obj],
-                        1.0 / scene.materials.refrn[obj])
+        eta = scene.materials.eta(obj, rec.inside)
         n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
         d_refr = normalize(refract(d, n_eff, eta))
         w_refr = rec.color * wgt * scene.materials.refr[obj]

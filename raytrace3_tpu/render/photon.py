@@ -69,8 +69,7 @@ def photon_trace(
 
         d_diff = cosine_hemisphere(k_d, rec.n)            # Vec3.h:90-98 law
         d_refl = normalize(reflect(d, rec.n))
-        eta = jnp.where(rec.inside, scene.materials.refrn[obj],
-                        1.0 / scene.materials.refrn[obj])
+        eta = scene.materials.eta(obj, rec.inside)
         n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
         d_refr = normalize(refract(d, n_eff, eta))
 

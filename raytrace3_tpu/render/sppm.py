@@ -65,12 +65,19 @@ def photon_rounds(
     update_mode: str = "sppm",
     deposit_fn=deposit_bruteforce,
     newton_fn=None,
+    psum_axis: str | None = None,
 ) -> HitPoints:
     """Run the photon-mapping rounds (reference PhotonMap, Raytracer.h:210-295).
 
     ``photons_per_round`` photons are emitted PER LIGHT each round (the
     reference's ``onetime`` = 100, Raytracer.h:218; we default much larger
     rounds — same estimator, radically better device utilisation).
+
+    ``psum_axis``: when running inside ``shard_map`` with photons sharded
+    over a mesh axis, pass its name — each device traces its local photon
+    shard and the per-round (d_nphot, d_tao) increments are all-reduced over
+    ICI before the radius update, keeping hit-point state replicated
+    (SURVEY.md section 2, photon-sharding axis).
     """
 
     def round_body(hp, k):
@@ -81,6 +88,8 @@ def photon_rounds(
         dep = photon_trace(scene, kt, org, dir, flux, max_depth,
                            newton_fn=newton_fn)
         d_n, d_tao = deposit_fn(hp, dep)
+        if psum_axis is not None:
+            d_n, d_tao = jax.lax.psum((d_n, d_tao), psum_axis)
         return ppm_update(hp, d_n, d_tao, update_mode), None
 
     keys = jax.random.split(key, n_rounds)

@@ -1,0 +1,181 @@
+"""Differentiability tests (BASELINE metric: "grad check pass rate"):
+custom_vjp deposit vs plain AD vs finite differences; end-to-end pixel
+gradients w.r.t. albedo / textures / control points; train-step smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytrace3_tpu.core.types import Deposits, make_hitpoints
+from raytrace3_tpu.diff.train import (
+    extract_params,
+    inject_params,
+    make_render_fn,
+    make_train_step,
+)
+from raytrace3_tpu.diff.vjp import deposit_bruteforce_vjp
+from raytrace3_tpu.render.deposit import deposit_bruteforce
+from raytrace3_tpu.render.driver import build_scene
+from raytrace3_tpu.utils.config import RenderConfig
+
+TINY = RenderConfig(
+    scene="cornell_diffuse", width=12, height=12, passes=1, rounds=2,
+    photons_per_round=256, max_depth=3, atlas_res=8,
+)
+
+
+def _case(rng, C=60, D=150):
+    hp = make_hitpoints(C, 2.0)
+    n = rng.normal(size=(C, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    hp = hp.replace(
+        pos=jnp.asarray(rng.uniform(0, 10, (C, 3)).astype(np.float32)),
+        n=jnp.asarray(n),
+        wgt=jnp.asarray(rng.uniform(0, 1, (C, 3)).astype(np.float32)),
+        valid=jnp.ones((C,), bool),
+    )
+    dn = rng.normal(size=(D, 3)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=-1, keepdims=True)
+    dep = Deposits(
+        pos=jnp.asarray(rng.uniform(0, 10, (D, 3)).astype(np.float32)),
+        n=jnp.asarray(dn),
+        flux=jnp.asarray(rng.uniform(0, 2, (D, 3)).astype(np.float32)),
+        valid=jnp.ones((D,), bool),
+    )
+    return hp, dep
+
+
+def test_custom_vjp_forward_matches_plain(rng):
+    hp, dep = _case(rng)
+    c1, t1 = deposit_bruteforce(hp, dep)
+    c2, t2 = deposit_bruteforce_vjp(hp, dep)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5)
+
+
+def test_custom_vjp_grad_matches_autodiff(rng):
+    hp, dep = _case(rng)
+
+    def loss_plain(wgt, flux):
+        _, tao = deposit_bruteforce(hp.replace(wgt=wgt), dep.replace(flux=flux))
+        return jnp.sum(jnp.sin(tao))
+
+    def loss_vjp(wgt, flux):
+        _, tao = deposit_bruteforce_vjp(
+            hp.replace(wgt=wgt), dep.replace(flux=flux)
+        )
+        return jnp.sum(jnp.sin(tao))
+
+    g1 = jax.grad(loss_plain, argnums=(0, 1))(hp.wgt, dep.flux)
+    g2 = jax.grad(loss_vjp, argnums=(0, 1))(hp.wgt, dep.flux)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_custom_vjp_grad_matches_finite_difference(rng):
+    hp, dep = _case(rng, C=30, D=60)
+
+    def loss(flux):
+        _, tao = deposit_bruteforce_vjp(hp, dep.replace(flux=flux))
+        return jnp.sum(tao**2)
+
+    g = np.asarray(jax.grad(loss)(dep.flux))
+    eps = 1e-2
+    checked = hit = 0
+    f0 = dep.flux
+    for j in [0, 7, 23, 41]:
+        for c in range(3):
+            fp = f0.at[j, c].add(eps)
+            fm = f0.at[j, c].add(-eps)
+            fd = (float(loss(fp)) - float(loss(fm))) / (2 * eps)
+            checked += 1
+            if abs(fd - g[j, c]) <= 2e-2 * max(1.0, abs(fd)):
+                hit += 1
+    assert hit / checked >= 0.9, (hit, checked)
+
+
+def test_end_to_end_gradients_albedo_texture(key):
+    """jax.grad(loss o render) w.r.t. albedo table + texture atlas is finite
+    and nonzero; albedo FD check on a scalar perturbation."""
+    scene = build_scene(TINY)
+    render = make_render_fn(scene, TINY)
+    params = extract_params(scene)
+    target = jnp.zeros((TINY.n_pixels, 3))
+
+    def loss(p):
+        return jnp.mean((render(p, key) - target) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    gd = np.asarray(grads["diff"])
+    ga = np.asarray(grads["atlas"])
+    assert np.isfinite(gd).all() and np.abs(gd).max() > 0
+    assert np.isfinite(ga).all()
+
+    # FD on a single albedo scalar (brightening the floor albedo must move
+    # the loss in the direction AD predicts)
+    eps = 1e-2
+    p_plus = dict(params, diff=params["diff"].at[3, 0].add(eps))
+    p_minus = dict(params, diff=params["diff"].at[3, 0].add(-eps))
+    fd = (float(loss(p_plus)) - float(loss(p_minus))) / (2 * eps)
+    ad = float(gd[3, 0])
+    assert abs(fd - ad) <= 0.15 * max(abs(fd), abs(ad), 1e-4), (fd, ad)
+
+
+def test_end_to_end_gradient_ctrl_points(key):
+    """Gradient w.r.t. Bezier control points is finite (flows through the
+    Newton solve + shading)."""
+    cfg = TINY.replace(scene="bezier_patch", rounds=1, photons_per_round=128,
+                       bezier_compact_frac=1.0)
+    scene = build_scene(cfg)
+    render = make_render_fn(scene, cfg)
+    params = extract_params(scene)
+    assert "ctrl" in params
+
+    def loss(p):
+        return jnp.mean(render(p, key) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert np.isfinite(np.asarray(g["ctrl"])).all()
+
+
+def test_train_step_reduces_loss(key):
+    """A few optimisation steps on the floor albedo reduce MSE to a target
+    rendered with a different albedo."""
+    scene = build_scene(TINY)
+    render = make_render_fn(scene, TINY)
+    p_true = extract_params(scene)
+    target = render(p_true, key).reshape(TINY.height, TINY.width, 3)
+
+    p0 = dict(p_true, diff=p_true["diff"] * 0.5)
+    import optax
+
+    init_fn, step_fn = make_train_step(scene, TINY, optax.adam(5e-2))
+    opt_state = init_fn(p0)
+    params = p0
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step_fn(params, opt_state, key, target)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_sharded_train_step_runs(key):
+    """Sharded loss/grad under shard_map on the virtual mesh compiles, runs,
+    and produces finite grads (gradient psum via AD transposition)."""
+    from raytrace3_tpu.parallel.mesh import make_mesh
+
+    cfg = TINY.replace(width=16, height=16)
+    scene = build_scene(cfg)
+    mesh = make_mesh(1, 8)
+    import optax
+
+    init_fn, step_fn = make_train_step(scene, cfg, optax.adam(1e-2), mesh=mesh)
+    params = extract_params(scene)
+    opt_state = init_fn(params)
+    target = jnp.zeros((cfg.height, cfg.width, 3))
+    params2, _, loss = step_fn(params, opt_state, key, target)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(params2["diff"])).all()

@@ -1,0 +1,117 @@
+"""Sharding tests on the 8-device virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8): sharded renders must agree with an
+equivalent single-device computation (SURVEY.md section 4, 'Distributed
+without a cluster')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace3_tpu.parallel.mesh import PASS_AXIS, PHOTON_AXIS, make_mesh
+from raytrace3_tpu.parallel.shard import make_sharded_pass_fn, render_sharded
+from raytrace3_tpu.utils.config import RenderConfig
+
+TINY = RenderConfig(
+    scene="cornell_diffuse", width=16, height=16, passes=2, rounds=2,
+    photons_per_round=512, max_depth=4, atlas_res=16, hitpoint_factor=2.0,
+)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_mesh_shapes():
+    m = make_mesh(2, 4)
+    assert m.shape == {PASS_AXIS: 2, PHOTON_AXIS: 4}
+    m = make_mesh(n_photon=8)
+    assert m.shape[PASS_AXIS] == 1
+    with pytest.raises(ValueError):
+        make_mesh(3, 3)
+
+
+def test_sharded_pass_runs_and_is_finite():
+    from raytrace3_tpu.render.driver import build_scene
+
+    scene = build_scene(TINY)
+    mesh = make_mesh(2, 4)
+    base = np.array([50.0, 35.0, 230.0])
+    fn = make_sharded_pass_fn(scene, TINY, base, base + [0, 0.042612, -1], mesh)
+    img = np.asarray(fn(jax.random.key(0)))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0
+
+
+def test_photon_axis_psum_consistency():
+    """1x8 mesh (pure photon sharding) must match a single-device render
+    whose rounds use the same per-shard key/batch structure."""
+    from raytrace3_tpu.render.camera import emit_rays, look_at
+    from raytrace3_tpu.render.driver import build_scene
+    from raytrace3_tpu.render.eye import eye_pass
+    from raytrace3_tpu.render.sppm import estimate_image, photon_rounds
+
+    cfg = TINY
+    scene = build_scene(cfg)
+    mesh = make_mesh(1, 8)
+    base = np.array([50.0, 35.0, 230.0])
+    look = base + np.array([0.0, 0.042612, -1.0])
+    fn = make_sharded_pass_fn(scene, cfg, base, look, mesh)
+    key = jax.random.key(7)
+    sharded = np.asarray(fn(key))
+
+    # single-device emulation with identical key structure: 8 sequential
+    # "shards" whose deposits sum before each radius update
+    from raytrace3_tpu.core.sampling import uniform_sphere
+    from raytrace3_tpu.render.deposit import deposit_bruteforce
+    from raytrace3_tpu.render.light import emit_photons
+    from raytrace3_tpu.render.photon import photon_trace
+    from raytrace3_tpu.render.sppm import ppm_update
+
+    kpass = jax.random.fold_in(key, 0)
+    kj, kp = jax.random.split(kpass)
+    pos = jnp.asarray(base, jnp.float32) + cfg.jitter * uniform_sphere(kj)
+    cam = look_at(pos, look, cfg.width, cfg.height)
+    org, dir = emit_rays(cam)
+
+    n_shard = 8
+    rs = cfg.n_pixels // n_shard
+    cap = cfg.hitpoint_capacity // n_shard
+    hps = [
+        eye_pass(scene, org[i * rs:(i + 1) * rs], dir[i * rs:(i + 1) * rs],
+                 cap, cfg.max_depth, pixel_offset=i * rs)[0]
+        for i in range(n_shard)
+    ]
+    hp = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *hps)
+
+    local_photons = cfg.photons_per_round // n_shard
+    kshards = [jax.random.fold_in(kp, i) for i in range(n_shard)]
+    rkeys = [jax.random.split(jax.random.fold_in(jnp.copy(k), 0), cfg.rounds)
+             for k in kshards]
+    # reproduce photon_rounds' key schedule: scan over rounds of split keys
+    rkeys = [jax.random.split(k, cfg.rounds) for k in kshards]
+    for r in range(cfg.rounds):
+        d_n = jnp.zeros(hp.capacity)
+        d_t = jnp.zeros((hp.capacity, 3))
+        for i in range(n_shard):
+            ke, kt = jax.random.split(rkeys[i][r])
+            po, pd, pf = emit_photons(ke, scene.light_pos, scene.light_color,
+                                      local_photons)
+            dep = photon_trace(scene, kt, po, pd, pf, cfg.max_depth)
+            dn_i, dt_i = deposit_bruteforce(hp, dep)
+            d_n = d_n + dn_i
+            d_t = d_t + dt_i
+        hp = ppm_update(hp, d_n, d_t, cfg.update_mode)
+    ref = np.asarray(
+        estimate_image(hp, cfg.n_pixels, cfg.rounds * cfg.photons_per_round)
+    ).reshape(cfg.height, cfg.width, 3)
+
+    np.testing.assert_allclose(sharded, ref, rtol=2e-4, atol=1e-5)
+
+
+def test_render_sharded_end_to_end():
+    img, metrics = render_sharded(TINY, mesh=make_mesh(2, 4))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all() and img.max() > 0
+    assert metrics["meter"]["passes"] == 1  # 2 passes in 1 super-pass
