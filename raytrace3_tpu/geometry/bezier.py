@@ -22,6 +22,8 @@ is the reference jnp implementation and the autodiff path.
 
 from __future__ import annotations
 
+from functools import partial
+
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -190,6 +192,87 @@ def newton_patch_solve(
     return t_rb, take(best_u), take(best_v), t_rb < MAX_DIST
 
 
+def solve_winner(org: jnp.ndarray, dir: jnp.ndarray, ctrl: jnp.ndarray,
+                 iters: int = DEFAULT_NEWTON_ITERS,
+                 restarts: int = DEFAULT_RESTART_GRID,
+                 patch_prune: bool = True):
+    """Winner-contract solver: nearest root over ALL patches per ray.
+
+    Returns (t, u, v, patch_id, hit), each (R,).  This is the contract every
+    Newton backend implements (this jnp version and the Pallas kernel in
+    ops/newton_pallas.py), and what :func:`winner_root` differentiates via
+    the implicit function theorem.
+    """
+    t, u, v, hit = newton_patch_solve(org, dir, ctrl, iters, restarts)
+    if patch_prune:
+        pmin, pmax = aabb_from_points(ctrl.reshape(ctrl.shape[0], 16, 3))
+        gate = slab_test(org[:, None, :], dir[:, None, :], pmin[None],
+                         pmax[None])
+        hit = hit & gate
+    t = jnp.where(hit, t, MAX_DIST)
+    bi = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    rows = jnp.arange(t.shape[0])
+    t_b = t[rows, bi]
+    return t_b, u[rows, bi], v[rows, bi], bi, t_b < MAX_DIST
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def winner_root(org, dir, ctrl, solver):
+    """Differentiable wrapper around any winner-contract solver.
+
+    Forward: run ``solver`` (which may be non-differentiable, e.g. the
+    Pallas kernel).  Backward: the implicit function theorem at the root —
+    F(x; th) = org + t dir - S(u, v; ctrl) = 0 gives
+    th_bar = -(dF/dth)^T J^-T x_bar with J = [dir | -Su | -Sv].
+    This replaces differentiating through iters x restarts unrolled Newton
+    steps (SURVEY.md hard part (b)): O(1) memory, exact at the root.
+    """
+    return solver(org, dir, ctrl)
+
+
+def _winner_fwd(org, dir, ctrl, solver):
+    out = solver(org, dir, ctrl)
+    return out, (org, dir, ctrl, out)
+
+
+def _winner_bwd(solver, res, cots):
+    org, dir, ctrl, (t, u, v, pid, hit) = res
+    g_t, g_u, g_v, _, _ = cots
+    live = hit
+    zero = jnp.zeros_like(t)
+    g = jnp.stack([jnp.where(live, g_t, 0.0),
+                   jnp.where(live, g_u, 0.0),
+                   jnp.where(live, g_v, 0.0)], axis=-1)     # (R, 3) = x_bar
+
+    cw = ctrl[pid]                                          # (R, 4, 4, 3)
+    _, su, sv = patch_derivs(cw, u, v)
+    # w = J^-T x_bar: solve J^T w = x_bar; rows of J^T are J's columns.
+    # J columns: c0 = dir, c1 = -su, c2 = -sv; J^T w = (c0.w, c1.w, c2.w).
+    # Solve via Cramer on the transposed system = solve3 with ROWS as the
+    # matrix -> equivalent to solving with columns of J^T, i.e. the rows of
+    # J: r0 = (dir_x, -su_x, -sv_x) etc.
+    r0 = jnp.stack([dir[..., 0], -su[..., 0], -sv[..., 0]], -1)
+    r1 = jnp.stack([dir[..., 1], -su[..., 1], -sv[..., 1]], -1)
+    r2 = jnp.stack([dir[..., 2], -su[..., 2], -sv[..., 2]], -1)
+    w0, w1, w2, ok = solve3_columns(r0, r1, r2, g)
+    w = jnp.stack([w0, w1, w2], -1)                         # (R, 3)
+    w = jnp.where((live & ok)[:, None], w, 0.0)
+
+    # th_bar = -(dF/dth)^T w, F = org + t dir - S(u, v, ctrl).
+    d_org = -w
+    d_dir = -t[:, None] * w
+    # dF/dctrl = -dS/dctrl -> d_ctrl = +(dS/dctrl)^T w, scattered per patch.
+    bu, bv = bernstein(u), bernstein(v)                     # (R, 4)
+    # S_c = sum_ik bv_i bu_k ctrl[pid, i, k, c]
+    contrib = (bv[:, :, None, None] * bu[:, None, :, None]
+               * w[:, None, None, :])                       # (R, 4, 4, 3)
+    d_ctrl = jnp.zeros_like(ctrl).at[pid].add(contrib)
+    return d_org, d_dir, d_ctrl
+
+
+winner_root.defvjp(_winner_fwd, _winner_bwd)
+
+
 def intersect_bezier(
     org: jnp.ndarray,
     dir: jnp.ndarray,
@@ -216,57 +299,46 @@ def intersect_bezier(
     teapot subtends well under 25% of either pass's rays).
 
     Returns (t, hit, u, v, n): t (R,), hit (R,), u/v (R,), n (R, 3).
-    ``newton_fn`` lets callers swap in the Pallas kernel; signature matches
-    :func:`newton_patch_solve` restricted to (org, dir, ctrl).
+    ``newton_fn``: a winner-contract solver (org, dir, ctrl) ->
+    (t, u, v, patch_id, hit) — e.g. the Pallas kernel; defaults to the jnp
+    :func:`solve_winner`.  Either way the solve is wrapped in
+    :func:`winner_root`, so gradients flow via the implicit function theorem
+    regardless of backend.
     """
     R = org.shape[0]
-    B = obj.num_patches
     ctrl = obj.ctrl
-    flat = ctrl.reshape(B, 16, 3)
+    flat = ctrl.reshape(obj.num_patches, 16, 3)
     pmin, pmax = aabb_from_points(flat)                 # (B, 3) each
-    obj_min = jnp.min(pmin, axis=0)
-    obj_max = jnp.max(pmax, axis=0)
+    obj_gate = slab_test(org, dir, jnp.min(pmin, 0), jnp.max(pmax, 0))
 
-    obj_gate = slab_test(org, dir, obj_min, obj_max)    # (R,)
-
-    solve = (
-        (lambda o, d: newton_patch_solve(o, d, ctrl, iters, restarts))
-        if newton_fn is None
-        else (lambda o, d: newton_fn(o, d, ctrl))
+    solver = newton_fn if newton_fn is not None else partial(
+        solve_winner, iters=iters, restarts=restarts, patch_prune=patch_prune
     )
 
     cap = R if compact_frac >= 1.0 else max(8, int(R * compact_frac))
     if cap < R:
         idx = jnp.nonzero(obj_gate, size=cap, fill_value=R)[0]    # (cap,)
         safe = jnp.minimum(idx, R - 1)
-        t_c, u_c, v_c, hit_c = solve(org[safe], dir[safe])
-        scat = lambda x, fill: jnp.full((R, B), fill, x.dtype).at[idx].set(
+        t_c, u_c, v_c, pid_c, hit_c = winner_root(
+            org[safe], dir[safe], ctrl, solver
+        )
+        scat = lambda x, fill: jnp.full((R,), fill, x.dtype).at[idx].set(
             x, mode="drop"
         )
-        t = scat(t_c, MAX_DIST)
-        u = scat(u_c, 0.0)
-        v = scat(v_c, 0.0)
+        t_best = scat(t_c, MAX_DIST)
+        u_best = scat(u_c, 0.0)
+        v_best = scat(v_c, 0.0)
+        pid = scat(pid_c, 0)
         hit = scat(hit_c, False)
     else:
-        t, u, v, hit = solve(org, dir)
+        t_best, u_best, v_best, pid, hit = winner_root(org, dir, ctrl, solver)
 
-    if patch_prune:
-        patch_gate = slab_test(
-            org[:, None, :], dir[:, None, :], pmin[None], pmax[None]
-        )                                               # (R, B)
-        hit = hit & patch_gate
-    hit = hit & obj_gate[:, None]
-    t = jnp.where(hit, t, MAX_DIST)
-
-    bi = jnp.argmin(t, axis=-1)                         # (R,)
-    rows = jnp.arange(t.shape[0])
-    t_best = t[rows, bi]
-    u_best = u[rows, bi]
-    v_best = v[rows, bi]
-    any_hit = t_best < MAX_DIST
+    hit = hit & obj_gate
+    t_best = jnp.where(hit, t_best, MAX_DIST)
+    any_hit = hit
 
     # Normal at the winning root only (Bezier.h:267-272).
-    cw = ctrl[bi]                                       # (R, 4, 4, 3)
+    cw = ctrl[pid]                                      # (R, 4, 4, 3)
     _, su, sv = patch_derivs(cw, u_best, v_best)
     n = jnp.cross(su, sv)
     n = jnp.where(jnp.sum(n * dir, -1, keepdims=True) > 0.0, -n, n)
