@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark: photons/s on the 512x512 teapot caustics scene, one chip.
+
+Prints ONE JSON line:
+  {"metric": "photons_per_s_teapot512", "value": N, "unit": "photons/s",
+   "vs_baseline": N, ...}
+
+``vs_baseline`` is measured against the C++ baseline implementation of the
+reference algorithm (native/baseline_sppm.cpp — same workload: Newton
+10x(50-restart) ray-Bezier intersection, depth-13 walks, r^2=2 deposits),
+built and timed on this host's CPU with all cores, exactly like the
+reference's OpenMP setup (BASELINE.md: the reference publishes no numbers,
+so the baseline must be measured here).
+
+Env knobs: RT3_BENCH_ROUNDS, RT3_BENCH_PHOTONS, RT3_BENCH_RES,
+RT3_BENCH_PLATFORM (force e.g. cpu), RT3_BENCH_PALLAS=0/1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def measure_cpp_baseline() -> dict:
+    """Build + run the C++ baseline; returns its JSON record."""
+    src = os.path.join(REPO, "native", "baseline_sppm.cpp")
+    exe = os.path.join(REPO, "native", "baseline_sppm")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fopenmp", "-std=c++17", src,
+             "-o", exe],
+            check=True,
+        )
+    threads = os.cpu_count() or 1
+    out = subprocess.run(
+        [exe, os.path.join(REPO, "assets", "teapot.bpt"), "512", "2000",
+         str(threads)],
+        check=True, capture_output=True, text=True, timeout=1800,
+    ).stdout.strip()
+    return json.loads(out.splitlines()[-1])
+
+
+def main() -> int:
+    rounds = int(os.environ.get("RT3_BENCH_ROUNDS", "4"))
+    photons = int(os.environ.get("RT3_BENCH_PHOTONS", "131072"))
+    res = int(os.environ.get("RT3_BENCH_RES", "512"))
+    platform = os.environ.get("RT3_BENCH_PLATFORM")
+    use_pallas = os.environ.get("RT3_BENCH_PALLAS", "1") != "0"
+
+    try:
+        cpp = measure_cpp_baseline()
+        baseline_pps = float(cpp["photons_per_s"])
+    except Exception as e:  # keep benching even if the toolchain breaks
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        cpp = {}
+        baseline_pps = float("nan")
+
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import numpy as np
+
+    from raytrace3_tpu.render.driver import build_scene, make_pass_fn
+    from raytrace3_tpu.utils.config import RenderConfig
+
+    backend = jax.default_backend()
+    cfg = RenderConfig(
+        scene="full", width=res, height=res, passes=1, rounds=rounds,
+        photons_per_round=photons, max_depth=13, atlas_res=128,
+        bezier_compact_frac=0.25, newton_restarts=4, newton_iters=10,
+        update_mode="sppm",
+    )
+    scene = build_scene(cfg)
+    newton_fn = None
+    if use_pallas and backend == "tpu":
+        from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
+
+        newton_fn = make_newton_pallas(iters=cfg.newton_iters)
+
+    base = np.array([50.0, 35.0, 230.0])
+    look = base + np.array([0.0, 0.042612, -1.0])
+    fn = make_pass_fn(scene, cfg, base, look, newton_fn=newton_fn)
+
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    img, stats = fn(key)
+    jax.block_until_ready(img)
+    compile_s = time.perf_counter() - t0
+
+    # timed passes
+    n_timed = 2
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        img, stats = fn(jax.random.fold_in(key, i + 1))
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / n_timed
+
+    pps = rounds * photons / dt
+    record = {
+        "metric": "photons_per_s_teapot512",
+        "value": round(pps, 1),
+        "unit": "photons/s",
+        "vs_baseline": round(pps / baseline_pps, 3) if baseline_pps == baseline_pps else None,
+        "backend": backend,
+        "pallas_newton": newton_fn is not None,
+        "pass_seconds": round(dt, 4),
+        "compile_seconds": round(compile_s, 1),
+        "photons_per_pass": rounds * photons,
+        "hitpoints": int(stats["count"]),
+        "cpp_baseline_photons_per_s": cpp.get("photons_per_s"),
+        "cpp_threads": cpp.get("threads"),
+    }
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,430 @@
+// baseline_sppm: an independent C++ implementation of the reference
+// algorithm (wondergo2017/raytrace3: SPPM with planes/spheres/cubic-Bezier
+// Newton intersection), used ONLY to measure the C++ photons/s baseline that
+// anchors bench.py's vs_baseline ratio (BASELINE.md: "the C++ baseline must
+// be measured by us ... on the 512x512 teapot configuration").
+//
+// Deliberately written from the algorithm description, not transcribed:
+// - same workload: 512x512 eye pass (depth 13), photon rounds of 100
+//   photons, Newton 10 iters x 50 random restarts per candidate patch ray,
+//   AABB-gated, radius^2 = 2.0 neighbor deposits;
+// - neighbor search: uniform grid (cell = sqrt(2)) instead of FLANN's
+//   kd-tree - at this radius/scene it is faster than a kd-tree, which makes
+//   the measured baseline CONSERVATIVE (our speedup ratio is understated);
+// - 3x3 solve by adjugate (no OpenCV dependency) - also faster than the
+//   reference's cv::Matx inverse, again conservative.
+//
+// Build: g++ -O3 -march=native -fopenmp -std=c++17 baseline_sppm.cpp -o baseline_sppm
+// Run:   ./baseline_sppm <teapot.bpt> [res] [rounds] [threads]
+// Emits one JSON line: {"photons_per_s": ..., "eye_s": ..., "photon_s": ...}
+
+#include <cmath>
+#include <cstdio>
+#include <cstdint>
+#include <cstring>
+#include <chrono>
+#include <vector>
+#include <array>
+#include <fstream>
+#include <algorithm>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+struct V3 {
+  double x = 0, y = 0, z = 0;
+  V3() = default;
+  V3(double a, double b, double c) : x(a), y(b), z(c) {}
+  V3 operator+(const V3& o) const { return {x + o.x, y + o.y, z + o.z}; }
+  V3 operator-(const V3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+  V3 operator*(double s) const { return {x * s, y * s, z * s}; }
+  V3 mul(const V3& o) const { return {x * o.x, y * o.y, z * o.z}; }
+  double dot(const V3& o) const { return x * o.x + y * o.y + z * o.z; }
+  V3 cross(const V3& o) const {
+    return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+  }
+  double n2() const { return dot(*this); }
+  V3 unit() const { double m = std::sqrt(n2()); return m > 0 ? *this * (1.0 / m) : *this; }
+};
+
+static const double EPS = 1e-4;
+static const double INIT_R2 = 2.0;
+static const int MAX_DEP = 13;
+
+// xorshift RNG, one per thread
+struct Rng {
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed * 2685821657736338717ULL + 1) {}
+  double uni() {
+    s ^= s << 13; s ^= s >> 7; s ^= s << 17;
+    return double(s >> 11) * (1.0 / 9007199254740992.0);
+  }
+  V3 sphere() {
+    double z = 2 * uni() - 1, phi = 6.283185307179586 * uni();
+    double r = std::sqrt(std::max(0.0, 1 - z * z));
+    return {r * std::cos(phi), r * std::sin(phi), z};
+  }
+  V3 cosine(const V3& n) {
+    double u1 = uni(), u2 = uni();
+    double ct = std::sqrt(u1), st = std::sqrt(1 - u1), phi = 6.283185307179586 * u2;
+    V3 a = std::fabs(n.x) > 0.1 ? V3(0, 1, 0) : V3(1, 0, 0);
+    V3 t = a.cross(n).unit(), b = n.cross(t);
+    return (t * (st * std::cos(phi)) + b * (st * std::sin(phi)) + n * ct).unit();
+  }
+};
+
+struct Mat {  // material
+  V3 diff, refl, refr; double refrn;
+  bool isDiff() const { return diff.x > EPS && diff.y > EPS && diff.z > EPS; }
+  bool isRefl() const { return refl.x > EPS && refl.y > EPS && refl.z > EPS; }
+  bool isRefr() const { return refr.x > EPS && refr.y > EPS && refr.z > EPS; }
+};
+
+struct Hit { double t = 1e20; V3 p, n; bool inside = false; int obj = -1; };
+
+struct Plane { V3 p0, n; };
+struct Sphere { V3 c; double r; };
+
+struct Patch {
+  V3 P[16];
+  V3 lo, hi;
+  void bound() {
+    lo = {1e20, 1e20, 1e20}; hi = {-1e20, -1e20, -1e20};
+    for (auto& p : P) {
+      lo.x = std::min(lo.x, p.x); lo.y = std::min(lo.y, p.y); lo.z = std::min(lo.z, p.z);
+      hi.x = std::max(hi.x, p.x); hi.y = std::max(hi.y, p.y); hi.z = std::max(hi.z, p.z);
+    }
+  }
+};
+
+static bool slab(const V3& o, const V3& d, const V3& lo, const V3& hi) {
+  double t0 = -1e30, t1 = 1e30;
+  const double* op = &o.x; const double* dp = &d.x;
+  const double* lp = &lo.x; const double* hp = &hi.x;
+  for (int i = 0; i < 3; i++) {
+    if (std::fabs(dp[i]) < 1e-12) { if (op[i] < lp[i] || op[i] > hp[i]) return false; continue; }
+    double a = (lp[i] - op[i]) / dp[i], b = (hp[i] - op[i]) / dp[i];
+    if (a > b) std::swap(a, b);
+    t0 = std::max(t0, a); t1 = std::min(t1, b);
+  }
+  return t1 >= std::max(t0, 0.0);
+}
+
+static V3 bez(const V3 P[4], double t) {
+  double s = 1 - t;
+  return P[0] * (s * s * s) + P[1] * (3 * t * s * s) + P[2] * (3 * t * t * s) + P[3] * (t * t * t);
+}
+static V3 dbez(const V3 P[4], double t) {
+  double s = 1 - t;
+  return P[0] * (-3 * s * s) + P[1] * (3 * s * s - 6 * t * s) + P[2] * (6 * t * s - 3 * t * t) + P[3] * (3 * t * t);
+}
+static V3 patchPoint(const V3 P[16], double u, double v) {
+  V3 c[4];
+  for (int i = 0; i < 4; i++) c[i] = bez(P + 4 * i, u);
+  return bez(c, v);
+}
+static void patchDerivs(const V3 P[16], double u, double v, V3& S, V3& Su, V3& Sv) {
+  V3 c[4], dc[4];
+  for (int i = 0; i < 4; i++) { c[i] = bez(P + 4 * i, u); dc[i] = dbez(P + 4 * i, u); }
+  S = bez(c, v); Sv = dbez(c, v); Su = bez(dc, v);
+}
+
+// Solve A x = r where A columns are c0,c1,c2 (adjugate/Cramer).
+static bool solve3(const V3& c0, const V3& c1, const V3& c2, const V3& r, V3& x) {
+  V3 c12 = c1.cross(c2);
+  double det = c0.dot(c12);
+  if (std::fabs(det) < 1e-14) return false;
+  double id = 1.0 / det;
+  x.x = r.dot(c12) * id;
+  x.y = c0.dot(r.cross(c2)) * id;
+  x.z = c0.dot(c1.cross(r)) * id;
+  return true;
+}
+
+struct Scene {
+  std::vector<Plane> planes;
+  std::vector<Sphere> spheres;
+  std::vector<Patch> patches;
+  V3 bezLo, bezHi;
+  std::vector<Mat> mats;  // per object id: planes, spheres, bezier(1)
+  V3 lightPos{50, 60, 85};
+  V3 lightCol{5000, 5000, 5000};
+
+  int nObj() const { return int(planes.size() + spheres.size()) + 1; }
+
+  // Newton: 50 random restarts x 10 iterations (the reference budget,
+  // Bezier.h:6,115), per AABB-passing patch.
+  bool bezierHit(const V3& o, const V3& d, Rng& rng, double& tBest, V3& nOut) const {
+    if (!slab(o, d, bezLo, bezHi)) return false;
+    tBest = 1e20;
+    int bestPatch = -1; double bu = 0, bv = 0;
+    for (size_t pi = 0; pi < patches.size(); pi++) {
+      const Patch& pa = patches[pi];
+      if (!slab(o, d, pa.lo, pa.hi)) continue;
+      for (int rs = 0; rs < 50; rs++) {
+        double t = 0, u = rng.uni(), v = rng.uni();
+        for (int it = 0; it < 10; it++) {
+          V3 S, Su, Sv;
+          patchDerivs(pa.P, u, v, S, Su, Sv);
+          V3 L = o + d * t;
+          V3 x;
+          if (!solve3(d, Su * -1.0, Sv * -1.0, (L - S) * -1.0, x)) break;
+          t += x.x; u += x.y; v += x.z;
+          V3 S2 = patchPoint(pa.P, u, v);
+          V3 res = (o + d * t) - S2;
+          if (res.n2() < EPS && u >= 0 && u <= 1 && v >= 0 && v <= 1 && t > EPS) {
+            if (t < tBest) { tBest = t; bestPatch = int(pi); bu = u; bv = v; }
+          }
+        }
+      }
+    }
+    if (bestPatch < 0) return false;
+    V3 S, Su, Sv;
+    patchDerivs(patches[bestPatch].P, bu, bv, S, Su, Sv);
+    V3 n = Su.cross(Sv);
+    if (n.dot(d) > 0) n = n * -1.0;
+    nOut = n.unit();
+    return true;
+  }
+
+  Hit nearest(const V3& o, const V3& d, Rng& rng) const {
+    Hit h;
+    for (size_t i = 0; i < planes.size(); i++) {
+      double pr = d.dot(planes[i].n);
+      if (std::fabs(pr) < EPS) continue;
+      double t = (planes[i].p0 - o).dot(planes[i].n) / pr;
+      if (t > EPS && t < h.t) { h.t = t; h.obj = int(i); h.n = planes[i].n; h.inside = false; }
+    }
+    for (size_t i = 0; i < spheres.size(); i++) {
+      V3 L = spheres[i].c - o;
+      double pr = L.dot(d);
+      double det2 = spheres[i].r * spheres[i].r - (L.n2() - pr * pr);
+      if (det2 < EPS) continue;
+      double dt = std::sqrt(det2);
+      double t1 = pr - dt, t2 = pr + dt;
+      if (t2 < EPS) continue;
+      bool ins = t1 < EPS;
+      double t = ins ? t2 : t1;
+      if (t < h.t) {
+        h.t = t; h.obj = int(planes.size() + i);
+        h.n = ((o + d * t) - spheres[i].c).unit();
+        h.inside = ins;
+      }
+    }
+    double tb; V3 nb;
+    if (bezierHit(o, d, rng, tb, nb)) {
+      if (tb < h.t) { h.t = tb; h.obj = nObj() - 1; h.n = nb; h.inside = false; }
+    }
+    if (h.obj >= 0) h.p = o + d * h.t;
+    return h;
+  }
+};
+
+struct HitPoint { V3 p, n, wgt; double r2 = INIT_R2; double tao[3] = {0, 0, 0}; int newN = 0; };
+
+// uniform grid over hit points (cell = sqrt(INIT_R2))
+struct Grid {
+  double cell = std::sqrt(INIT_R2);
+  V3 lo{-20, -20, -20};
+  int nx = 0, ny = 0, nz = 0;
+  std::vector<int> start;
+  std::vector<int> items;
+  void build(const std::vector<HitPoint>& hps) {
+    V3 hi{120, 120, 180};
+    nx = int((hi.x - lo.x) / cell) + 1;
+    ny = int((hi.y - lo.y) / cell) + 1;
+    nz = int((hi.z - lo.z) / cell) + 1;
+    std::vector<int> cnt(size_t(nx) * ny * nz + 1, 0);
+    auto cid = [&](const V3& p) {
+      int ix = std::clamp(int((p.x - lo.x) / cell), 0, nx - 1);
+      int iy = std::clamp(int((p.y - lo.y) / cell), 0, ny - 1);
+      int iz = std::clamp(int((p.z - lo.z) / cell), 0, nz - 1);
+      return (ix * ny + iy) * nz + iz;
+    };
+    for (auto& h : hps) cnt[cid(h.p) + 1]++;
+    for (size_t i = 1; i < cnt.size(); i++) cnt[i] += cnt[i - 1];
+    start = cnt;
+    items.resize(hps.size());
+    std::vector<int> cur(start.begin(), start.end() - 1);
+    for (size_t i = 0; i < hps.size(); i++) items[size_t(cur[cid(hps[i].p)]++)] = int(i);
+  }
+  template <class F>
+  void query(const V3& p, F&& f) const {
+    int ix = std::clamp(int((p.x - lo.x) / cell), 0, nx - 1);
+    int iy = std::clamp(int((p.y - lo.y) / cell), 0, ny - 1);
+    int iz = std::clamp(int((p.z - lo.z) / cell), 0, nz - 1);
+    for (int dx = -1; dx <= 1; dx++)
+      for (int dy = -1; dy <= 1; dy++)
+        for (int dz = -1; dz <= 1; dz++) {
+          int jx = ix + dx, jy = iy + dy, jz = iz + dz;
+          if (jx < 0 || jy < 0 || jz < 0 || jx >= nx || jy >= ny || jz >= nz) continue;
+          int c = (jx * ny + jy) * nz + jz;
+          for (int k = start[c]; k < start[c + 1]; k++) f(items[k]);
+        }
+  }
+};
+
+struct Tracer {
+  const Scene* sc;
+  std::vector<HitPoint> hps;
+  Grid grid;
+  Rng rng{12345};
+
+  void eyeTrace(const V3& o, const V3& d, V3 wgt, int dep) {
+    if (dep > MAX_DEP) return;
+    Hit h = sc->nearest(o, d, rng);
+    if (h.obj < 0) return;
+    const Mat& m = sc->mats[h.obj];
+    if (m.isDiff()) {
+      HitPoint hp; hp.p = h.p; hp.n = h.n; hp.wgt = wgt.mul(m.diff);
+      hps.push_back(hp);
+    }
+    if (m.isRefl()) eyeTrace(h.p, (d - h.n * (2 * d.dot(h.n))).unit(), wgt.mul(m.refl), dep + 1);
+    if (m.isRefr()) {
+      double eta = h.inside ? m.refrn : 1.0 / m.refrn;
+      V3 n = h.inside ? h.n * -1.0 : h.n;
+      double ci = -n.dot(d);
+      double cr2 = 1 - (1 - ci * ci) * eta * eta;
+      V3 nd = cr2 > EPS ? (d * eta + n * (eta * ci - std::sqrt(cr2))).unit()
+                        : (d - n * (2 * d.dot(n))).unit();
+      eyeTrace(h.p, nd, wgt.mul(m.refr), dep + 1);
+    }
+  }
+
+  void photonTrace(const V3& o, const V3& d, V3 flux, int dep) {
+    if (dep > MAX_DEP) return;
+    Hit h = sc->nearest(o, d, rng);
+    if (h.obj < 0) return;
+    const Mat& m = sc->mats[h.obj];
+    if (m.isDiff()) {
+      grid.query(h.p, [&](int i) {
+        HitPoint& hp = hps[size_t(i)];
+        V3 dv = hp.p - h.p;
+        if (hp.n.dot(h.n) > 1e-3 && dv.n2() <= hp.r2) {
+          hp.newN++;
+          hp.tao[0] += hp.wgt.x * flux.x * 0.3183098861837907;
+          hp.tao[1] += hp.wgt.y * flux.y * 0.3183098861837907;
+          hp.tao[2] += hp.wgt.z * flux.z * 0.3183098861837907;
+        }
+      });
+    }
+    // roulette one branch ~ lobe mean powers (the reference's biased pick)
+    double pd = (m.diff.x + m.diff.y + m.diff.z) / 3;
+    double pl = (m.refl.x + m.refl.y + m.refl.z) / 3;
+    double pr = (m.refr.x + m.refr.y + m.refr.z) / 3;
+    double r = rng.uni() * (pd + pl + pr);
+    if (pd + pl + pr <= 0) return;
+    V3 col = m.isDiff() ? m.diff : (m.isRefl() ? m.refl : m.refr);
+    if (r < pd) {
+      photonTrace(h.p, rng.cosine(h.n), col.mul(flux), dep + 1);
+    } else if (r < pd + pl) {
+      photonTrace(h.p, (d - h.n * (2 * d.dot(h.n))).unit(), col.mul(flux), dep + 1);
+    } else {
+      double eta = h.inside ? m.refrn : 1.0 / m.refrn;
+      V3 n = h.inside ? h.n * -1.0 : h.n;
+      double ci = -n.dot(d);
+      double cr2 = 1 - (1 - ci * ci) * eta * eta;
+      V3 nd = cr2 > EPS ? (d * eta + n * (eta * ci - std::sqrt(cr2))).unit()
+                        : (d - n * (2 * d.dot(n))).unit();
+      photonTrace(h.p, nd, col.mul(flux), dep + 1);
+    }
+  }
+};
+
+int main(int argc, char** argv) {
+  const char* bpt = argc > 1 ? argv[1] : "assets/teapot.bpt";
+  int res = argc > 2 ? std::atoi(argv[2]) : 512;
+  int rounds = argc > 3 ? std::atoi(argv[3]) : 200;   // rounds of 100 photons
+  int threads = argc > 4 ? std::atoi(argv[4]) : 4;
+
+  Scene sc;
+  sc.planes = {{{1, 40.8, 81.6}, {1, 0, 0}},  {{99, 40.8, 81.6}, {1, 0, 0}},
+               {{50, 40.8, 0}, {0, 0, 1}},    {{50, 0, 81.6}, {0, -1, 0}},
+               {{50, 81.6, 81.6}, {0, 1, 0}}};
+  sc.spheres = {{{27, 16.5, 47}, 16.5}, {{73, 16.5, 88}, 16.5}, {{50, 8.5, 60}, 8.5}};
+  Mat WD{{0.75, 0.75, 0.75}, {}, {}, 0};
+  Mat MI{{}, {0.999, 0.999, 0.999}, {}, 0};
+  Mat RF{{}, {}, {0.999, 0.999, 0.999}, 1.5};
+  sc.mats = {WD, WD, MI, WD, WD, MI, RF, WD, WD};
+
+  // teapot.bpt with the reference placement: scale 4, swap-yz + rotY(90), +C
+  std::ifstream f(bpt);
+  if (!f) { std::fprintf(stderr, "cannot open %s\n", bpt); return 1; }
+  int np; f >> np;
+  sc.bezLo = {1e20, 1e20, 1e20}; sc.bezHi = {-1e20, -1e20, -1e20};
+  for (int p = 0; p < np; p++) {
+    int m, n; f >> m >> n;
+    Patch pa;
+    for (int i = 0; i < 16; i++) {
+      double x, y, z; f >> x >> y >> z;
+      x *= 4; y *= 4; z *= 4;
+      double sx = x, sy = z, sz = y;          // swap y/z
+      double rx = sz, rz = -sx;               // rot 90 about y: (x,z)->(z,-x)
+      V3 q{rx + 20, sy + 0, rz + 120};
+      pa.P[i] = q;
+    }
+    pa.bound();
+    sc.patches.push_back(pa);
+    sc.bezLo.x = std::min(sc.bezLo.x, pa.lo.x); sc.bezLo.y = std::min(sc.bezLo.y, pa.lo.y); sc.bezLo.z = std::min(sc.bezLo.z, pa.lo.z);
+    sc.bezHi.x = std::max(sc.bezHi.x, pa.hi.x); sc.bezHi.y = std::max(sc.bezHi.y, pa.hi.y); sc.bezHi.z = std::max(sc.bezHi.z, pa.hi.z);
+  }
+
+  // camera (main.cpp:22-27): pos (50,35,230), dir +(0,0.042612,-1), fov 50
+  V3 cpos{50, 35, 230};
+  V3 cdir = V3{0, 0.042612, -1}.unit();
+  V3 up{0, 0, 1};
+  V3 du = cdir.cross(up).unit();
+  V3 dv = (cdir.cross(du) * -1.0).unit();
+  double fl = 0.5 / std::tan(25.0 * 3.14159265358979 / 180.0);
+  V3 fwd = cdir * fl;
+
+  auto t0 = std::chrono::steady_clock::now();
+  Tracer tr; tr.sc = &sc;
+  tr.hps.reserve(size_t(res) * res * 2);
+  for (int y = 0; y < res; y++)
+    for (int x = 0; x < res; x++) {
+      V3 d = (du * ((x + 0.5) / res - 0.5) + dv * ((y + 0.5) / res - 0.5) + fwd).unit();
+      tr.eyeTrace(cpos, d, {1, 1, 1}, 0);
+    }
+  auto t1 = std::chrono::steady_clock::now();
+  tr.grid.build(tr.hps);
+
+  // photon phase: `rounds` rounds x 100 photons, over `threads` independent
+  // tracers like the reference's 4 OpenMP threads (each owns its state).
+  long totalPhotons = 0;
+  auto t2 = std::chrono::steady_clock::now();
+#ifdef _OPENMP
+  omp_set_num_threads(threads);
+#endif
+#pragma omp parallel reduction(+ : totalPhotons)
+  {
+#ifdef _OPENMP
+    int tid = omp_get_thread_num();
+#else
+    int tid = 0;
+#endif
+    Tracer local; local.sc = &sc; local.hps = tr.hps; local.grid = tr.grid;
+    local.rng = Rng(uint64_t(9000 + tid));
+#pragma omp for schedule(dynamic)
+    for (int rd = 0; rd < rounds; rd++) {
+      for (int j = 0; j < 100; j++) {
+        V3 d = local.rng.sphere();
+        local.photonTrace(sc.lightPos, d, sc.lightCol * (4 * 3.14159265358979), 0);
+        totalPhotons++;
+      }
+      for (auto& hp : local.hps) {  // reference update() pass (dead-code
+        if (hp.newN <= 0) continue; // guard preserved: N starts 0)
+        hp.newN = 0;
+      }
+    }
+  }
+  auto t3 = std::chrono::steady_clock::now();
+
+  double eye_s = std::chrono::duration<double>(t1 - t0).count();
+  double photon_s = std::chrono::duration<double>(t3 - t2).count();
+  std::printf(
+      "{\"photons_per_s\": %.1f, \"eye_s\": %.3f, \"photon_s\": %.3f, "
+      "\"hitpoints\": %zu, \"threads\": %d, \"rounds\": %d}\n",
+      totalPhotons / photon_s, eye_s, photon_s, tr.hps.size(), threads, rounds);
+  return 0;
+}
