@@ -76,10 +76,12 @@ def main() -> int:
         scene="full", width=res, height=res, passes=1, rounds=rounds,
         photons_per_round=photons, max_depth=13, atlas_res=128,
         bezier_compact_frac=0.25, newton_restarts=4, newton_iters=10,
-        update_mode="sppm",
+        update_mode="sppm", deposit="grid", deposit_compact_frac=0.4,
     )
     scene = build_scene(cfg)
     newton_fn = None
+    from raytrace3_tpu.ops.grid import make_grid_deposit
+    deposit_fn = make_grid_deposit(max_per_cell=64)
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
 
@@ -87,7 +89,8 @@ def main() -> int:
 
     base = np.array([50.0, 35.0, 230.0])
     look = base + np.array([0.0, 0.042612, -1.0])
-    fn = make_pass_fn(scene, cfg, base, look, newton_fn=newton_fn)
+    fn = make_pass_fn(scene, cfg, base, look, deposit_fn=deposit_fn,
+                      newton_fn=newton_fn)
 
     key = jax.random.key(0)
     t0 = time.perf_counter()

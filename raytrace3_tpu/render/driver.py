@@ -71,6 +71,7 @@ def make_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
             update_mode=cfg.update_mode,
             deposit_fn=deposit_fn,
             newton_fn=newton_fn,
+            deposit_compact_frac=cfg.deposit_compact_frac,
         )
         return img.reshape(cfg.height, cfg.width, 3), stats
 

@@ -98,3 +98,26 @@ def photon_trace(
         flux=df.reshape(segs * N, 3),
         valid=dv.reshape(segs * N),
     )
+
+
+def compact_deposits(dep: Deposits, capacity: int) -> Deposits:
+    """Gather valid deposit records into a smaller fixed-capacity buffer.
+
+    A depth-D photon walk emits D x N candidate records but only diffuse
+    interactions are valid (often <40%); compacting before the deposit op
+    shrinks the dominant O(C x D) / gather cost proportionally.  Overflow
+    beyond ``capacity`` is dropped (size generously; the estimator just
+    loses those photons' contributions, equivalent to emitting fewer).
+    """
+    D = dep.valid.shape[0]
+    if capacity >= D:
+        return dep
+    idx = jnp.nonzero(dep.valid, size=capacity, fill_value=D)[0]
+    ok = idx < D
+    safe = jnp.minimum(idx, D - 1)
+    return Deposits(
+        pos=dep.pos[safe],
+        n=dep.n[safe],
+        flux=dep.flux[safe],
+        valid=dep.valid[safe] & ok,
+    )

@@ -32,7 +32,7 @@ from ..geometry.scene import Scene
 from .deposit import deposit_bruteforce
 from .eye import INIT_R2, MAX_DEPTH, eye_pass
 from .light import emit_photons
-from .photon import photon_trace
+from .photon import compact_deposits, photon_trace
 
 #: Reference radius-shrink factor (Raytracer.h:45).
 ALPHA = 0.7
@@ -66,6 +66,7 @@ def photon_rounds(
     deposit_fn=deposit_bruteforce,
     newton_fn=None,
     psum_axis: str | None = None,
+    deposit_compact_frac: float = 1.0,
 ) -> HitPoints:
     """Run the photon-mapping rounds (reference PhotonMap, Raytracer.h:210-295).
 
@@ -87,6 +88,9 @@ def photon_rounds(
         )
         dep = photon_trace(scene, kt, org, dir, flux, max_depth,
                            newton_fn=newton_fn)
+        if deposit_compact_frac < 1.0:
+            cap = int(dep.valid.shape[0] * deposit_compact_frac)
+            dep = compact_deposits(dep, max(cap, 128))
         d_n, d_tao = deposit_fn(hp, dep)
         if psum_axis is not None:
             d_n, d_tao = jax.lax.psum((d_n, d_tao), psum_axis)
@@ -126,6 +130,7 @@ def render_pass(
     update_mode: str = "sppm",
     deposit_fn=deposit_bruteforce,
     newton_fn=None,
+    deposit_compact_frac: float = 1.0,
 ):
     """One full SPPM pass: eye trace -> photon rounds -> pixel estimate.
 
@@ -141,6 +146,7 @@ def render_pass(
     hp = photon_rounds(
         scene, key, hp, n_rounds, photons_per_round, max_depth,
         update_mode, deposit_fn, newton_fn,
+        deposit_compact_frac=deposit_compact_frac,
     )
     img = estimate_image(hp, cam_org.shape[0], n_rounds * photons_per_round)
     stats = dict(stats)

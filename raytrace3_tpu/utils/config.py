@@ -36,6 +36,7 @@ class RenderConfig:
     newton_iters: int = 10
     newton_restarts: int = 4
     deposit: str = "bruteforce"         # or "grid"
+    deposit_compact_frac: float = 1.0   # compact valid deposits before the op
     use_pallas: bool = False            # Pallas kernels for newton/deposit
     checkpoint_every: int = 0           # passes between checkpoints (0 = off)
     out: str = "render.png"
