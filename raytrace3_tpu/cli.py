@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview-every", type=int, default=0,
                    help="write the running-average PNG every N passes")
     p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of one pass here")
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--sharded", action="store_true",
@@ -82,7 +84,7 @@ def main(argv=None) -> int:
     newton_fn = deposit_fn = None
     if cfg.use_pallas:
         from .ops.newton_pallas import make_newton_pallas
-        newton_fn = make_newton_pallas(cfg.newton_iters, cfg.newton_restarts)
+        newton_fn = make_newton_pallas(iters=cfg.newton_iters)
     if cfg.deposit == "grid":
         from .ops.grid import make_grid_deposit
         deposit_fn = make_grid_deposit()
@@ -99,6 +101,7 @@ def main(argv=None) -> int:
             metrics_jsonl=args.metrics_jsonl,
             newton_fn=newton_fn,
             deposit_fn=deposit_fn,
+            profile_dir=args.profile_dir,
         )
     save_png(cfg.out, img)
     m = metrics.get("meter", {})

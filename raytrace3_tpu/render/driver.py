@@ -81,7 +81,7 @@ def make_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
 def render(cfg: RenderConfig, scene: Scene | None = None,
            checkpoint_path: str | None = None, preview_every: int = 0,
            metrics_jsonl: str | None = None, deposit_fn=None, newton_fn=None,
-           camera_pose=None):
+           camera_pose=None, profile_dir: str | None = None):
     """Run the full progressive render; returns (mean image HxWx3, metrics).
 
     Resumable: with ``checkpoint_path`` set, an interrupted render restarts
@@ -122,9 +122,16 @@ def render(cfg: RenderConfig, scene: Scene | None = None,
     stats = {}
     for i in range(start_pass, cfg.passes):
         meter.start_pass()
+        # Profile the second pass (first is compile) when requested —
+        # the reference had no profiling at all (SURVEY.md section 5).
+        do_profile = profile_dir and i == start_pass + 1
+        if do_profile:
+            jax.profiler.start_trace(profile_dir)
         img, stats = pass_fn(jax.random.fold_in(base_key, i))
         accum = accum + img
         jax.block_until_ready(accum)
+        if do_profile:
+            jax.profiler.stop_trace()
         meter.end_pass({"hitpoints": int(stats["count"]),
                         "dropped": int(stats["dropped"])})
         if checkpoint_path and cfg.checkpoint_every and (

@@ -84,3 +84,22 @@ def test_empty_deposits(rng):
         cnt, tao = fn(hp, dep)
         assert float(jnp.abs(cnt).sum()) == 0.0
         assert float(jnp.abs(tao).sum()) == 0.0
+
+
+def test_compact_deposits(rng):
+    from raytrace3_tpu.render.photon import compact_deposits
+
+    hp, dep = _random_case(rng, C=80, D=300)
+    # full-capacity: results identical
+    c0 = deposit_bruteforce(hp, dep)
+    c1 = deposit_bruteforce(hp, compact_deposits(dep, 300))
+    np.testing.assert_allclose(np.asarray(c0[0]), np.asarray(c1[0]))
+    # capacity >= number of valid deposits: still identical
+    nvalid = int(np.asarray(dep.valid).sum())
+    c2 = deposit_bruteforce(hp, compact_deposits(dep, nvalid))
+    np.testing.assert_allclose(np.asarray(c0[0]), np.asarray(c2[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c0[1]), np.asarray(c2[1]),
+                               rtol=2e-4, atol=1e-5)
+    # tight capacity: subset (counts never exceed full)
+    c3 = deposit_bruteforce(hp, compact_deposits(dep, nvalid // 2))
+    assert (np.asarray(c3[0]) <= np.asarray(c0[0]) + 1e-6).all()
