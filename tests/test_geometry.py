@@ -152,3 +152,32 @@ class TestTexture:
             sample_bilinear_wrap(tex, jnp.asarray([1.3]), jnp.asarray([-0.3]))
         )
         np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+class TestCamera:
+    def test_reference_basis(self):
+        """lookAt basis for the main.cpp pose (Camera.h:32-54): up=(0,0,1),
+        du = unit(dir x up), dv = unit(-dir x du), |dir| = 0.5/tan(25 deg)."""
+        from raytrace3_tpu.render.camera import emit_rays, look_at
+
+        pos = np.array([50.0, 35.0, 230.0])
+        look = pos + np.array([0.0, 0.042612, -1.0])
+        cam = look_at(jnp.asarray(pos, jnp.float32),
+                      jnp.asarray(look, jnp.float32), 8, 8)
+        d = (look - pos) / np.linalg.norm(look - pos)
+        du = np.cross(d, [0, 0, 1]); du /= np.linalg.norm(du)
+        dv = -np.cross(d, du); dv /= np.linalg.norm(dv)
+        scale = 0.5 / np.tan(np.deg2rad(25.0))
+        np.testing.assert_allclose(np.asarray(cam.du), du, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cam.dv), dv, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cam.dir), d * scale, atol=1e-5)
+
+        org, dirs = emit_rays(cam)
+        assert org.shape == (64, 3) and dirs.shape == (64, 3)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(dirs), axis=1),
+                                   1.0, rtol=1e-5)
+        # center of pixel (y=4, x=4) ray: d = du*((4.5)/8-.5)+dv*((4.5)/8-.5)+dir
+        want = du * (4.5 / 8 - 0.5) + dv * (4.5 / 8 - 0.5) + d * scale
+        want /= np.linalg.norm(want)
+        np.testing.assert_allclose(np.asarray(dirs[4 * 8 + 4]), want,
+                                   atol=1e-5)
