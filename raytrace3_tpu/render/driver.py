@@ -72,6 +72,7 @@ def make_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
             deposit_fn=deposit_fn,
             newton_fn=newton_fn,
             deposit_compact_frac=cfg.deposit_compact_frac,
+            debias_roulette=cfg.debias_roulette,
         )
         return img.reshape(cfg.height, cfg.width, 3), stats
 

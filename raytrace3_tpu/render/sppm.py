@@ -67,6 +67,7 @@ def photon_rounds(
     newton_fn=None,
     psum_axis: str | None = None,
     deposit_compact_frac: float = 1.0,
+    debias_roulette: bool = False,
 ) -> HitPoints:
     """Run the photon-mapping rounds (reference PhotonMap, Raytracer.h:210-295).
 
@@ -87,6 +88,7 @@ def photon_rounds(
             ke, scene.light_pos, scene.light_color, photons_per_round
         )
         dep = photon_trace(scene, kt, org, dir, flux, max_depth,
+                           debias_roulette=debias_roulette,
                            newton_fn=newton_fn)
         if deposit_compact_frac < 1.0:
             cap = int(dep.valid.shape[0] * deposit_compact_frac)
@@ -131,6 +133,7 @@ def render_pass(
     deposit_fn=deposit_bruteforce,
     newton_fn=None,
     deposit_compact_frac: float = 1.0,
+    debias_roulette: bool = False,
 ):
     """One full SPPM pass: eye trace -> photon rounds -> pixel estimate.
 
@@ -147,6 +150,7 @@ def render_pass(
         scene, key, hp, n_rounds, photons_per_round, max_depth,
         update_mode, deposit_fn, newton_fn,
         deposit_compact_frac=deposit_compact_frac,
+        debias_roulette=debias_roulette,
     )
     img = estimate_image(hp, cam_org.shape[0], n_rounds * photons_per_round)
     stats = dict(stats)

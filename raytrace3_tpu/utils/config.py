@@ -37,6 +37,7 @@ class RenderConfig:
     newton_restarts: int = 4
     deposit: str = "bruteforce"         # or "grid"
     deposit_compact_frac: float = 1.0   # compact valid deposits before the op
+    debias_roulette: bool = False       # divide flux by branch probability
     use_pallas: bool = False            # Pallas kernels for newton/deposit
     checkpoint_every: int = 0           # passes between checkpoints (0 = off)
     out: str = "render.png"
