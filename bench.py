@@ -48,7 +48,7 @@ def measure_cpp_baseline() -> dict:
 
 
 def main() -> int:
-    rounds = int(os.environ.get("RT3_BENCH_ROUNDS", "4"))
+    rounds = int(os.environ.get("RT3_BENCH_ROUNDS", "16"))
     photons = int(os.environ.get("RT3_BENCH_PHOTONS", "131072"))
     res = int(os.environ.get("RT3_BENCH_RES", "512"))
     platform = os.environ.get("RT3_BENCH_PLATFORM")
@@ -92,13 +92,18 @@ def main() -> int:
     fn = make_pass_fn(scene, cfg, base, look, deposit_fn=deposit_fn,
                       newton_fn=newton_fn)
 
+    print(f"bench: backend={backend} warming up / compiling ...",
+          file=sys.stderr, flush=True)
     key = jax.random.key(0)
     t0 = time.perf_counter()
     img, stats = fn(key)
     jax.block_until_ready(img)
     compile_s = time.perf_counter() - t0
+    print(f"bench: compile+first pass {compile_s:.1f}s; timing ...",
+          file=sys.stderr, flush=True)
 
-    # timed passes
+    # timed passes (each is rounds x photons -> per-call dispatch overhead
+    # through the remote-TPU tunnel is amortised inside one call)
     n_timed = 2
     t0 = time.perf_counter()
     for i in range(n_timed):
