@@ -76,9 +76,11 @@ def _build_tables(ctrl: np.ndarray | jnp.ndarray):
     pid = jnp.repeat(
         jnp.arange(g * PATCHES_PER_GROUP, dtype=jnp.int32).reshape(g, -1),
         RESTARTS, axis=1,
-    )                                                    # (G, LANES)
+    ).reshape(g, 1, LANES)  # leading singleton: Mosaic requires the block's
+    #                         second-to-last dim to equal the array's
     vld = jnp.repeat(valid_p.reshape(g, -1), RESTARTS, axis=1)
-    return coef, aabb, pid, vld.astype(jnp.float32)
+    vld = vld.astype(jnp.float32).reshape(g, 1, LANES)
+    return coef, aabb, pid, vld
 
 
 def _uv0_rows():
@@ -139,7 +141,7 @@ def _newton_kernel(org_ref, dir_ref, coef_ref, aabb_ref, pid_ref, vld_ref,
                     nanfix(jnp.maximum(t0y, t1y), BIG)),
         nanfix(jnp.maximum(t0z, t1z), BIG),
     )
-    box_ok = (tfar >= jnp.maximum(tnear, 0.0)) & (vld_ref[:][0:1, :] > 0.5)
+    box_ok = (tfar >= jnp.maximum(tnear, 0.0)) & (vld_ref[:][0] > 0.5)
 
     @pl.when(jnp.any(box_ok))
     def _():
@@ -248,7 +250,7 @@ def _newton_kernel(org_ref, dir_ref, coef_ref, aabb_ref, pid_ref, vld_ref,
                                 keepdims=True)
         w_u = sel(best_u)
         w_v = sel(best_v)
-        pidf = pid_ref[:][0:1, :].astype(jnp.float32)      # (1, LANES)
+        pidf = pid_ref[:][0].astype(jnp.float32)           # (1, LANES)
         w_p = jnp.min(
             jnp.where(winner, jnp.broadcast_to(pidf, best_t.shape), BIG),
             axis=1, keepdims=True,
@@ -296,9 +298,9 @@ def make_newton_pallas(iters: int = 10, tile_r: int = 256,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 6, LANES), lambda i, g_: (g_, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, LANES), lambda i, g_: (g_, 0),
+                pl.BlockSpec((1, 1, LANES), lambda i, g_: (g_, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, LANES), lambda i, g_: (g_, 0),
+                pl.BlockSpec((1, 1, LANES), lambda i, g_: (g_, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, LANES), lambda i, g_: (0, 0),
                              memory_space=pltpu.VMEM),
