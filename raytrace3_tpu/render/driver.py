@@ -134,7 +134,8 @@ def render(cfg: RenderConfig, scene: Scene | None = None,
         if do_profile:
             jax.profiler.stop_trace()
         meter.end_pass({"hitpoints": int(stats["count"]),
-                        "dropped": int(stats["dropped"])})
+                        "dropped": int(stats["dropped"]),
+                        "mean_r2": float(stats["mean_r2"])})
         if checkpoint_path and cfg.checkpoint_every and (
             (i + 1) % cfg.checkpoint_every == 0
         ):

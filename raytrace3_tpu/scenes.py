@@ -171,9 +171,23 @@ def full(atlas_res: int = 256, bezier_uv_quirk: bool = True) -> Scene:
     )
 
 
+def cornell_two_lights(atlas_res: int = 64) -> Scene:
+    """Two-light diffuse variant modelled on the reference's older commented
+    scene (Scene.h:44-68: two SpotLights at different positions/powers) —
+    exercises the multi-light emission path end to end."""
+    s = cornell_diffuse(atlas_res)
+    return s.replace(
+        light_pos=jnp.asarray([[50.0, 60.0, 85.0], [30.0, 50.0, 120.0]],
+                              jnp.float32),
+        light_color=jnp.asarray([[2500.0] * 3, [1000.0, 2000.0, 2000.0]],
+                                jnp.float32),
+    )
+
+
 teapot = full
 
 REGISTRY = {
+    "cornell_two_lights": cornell_two_lights,
     "cornell_diffuse": cornell_diffuse,
     "cornell_specular": cornell_specular,
     "bezier_patch": bezier_patch,

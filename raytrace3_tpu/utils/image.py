@@ -25,3 +25,15 @@ def save_png(path: str, img: np.ndarray, tonemapped: bool = False) -> None:
     if not tonemapped:
         arr = to_uint8(arr)
     Image.fromarray(arr[::-1]).save(path)
+
+
+def mse(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
+    """Peak signal-to-noise ratio between two radiance images (dB)."""
+    m = mse(a, b)
+    if m == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / m))

@@ -63,3 +63,18 @@ def test_cli_smoke(tmp_path, monkeypatch):
     from PIL import Image
 
     assert Image.open(out).size == (16, 16)
+
+
+def test_two_light_scene_renders():
+    cfg = TINY.replace(scene="cornell_two_lights", passes=1)
+    img, m = driver.render(cfg)
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_psnr_util():
+    from raytrace3_tpu.utils.image import mse, psnr
+
+    a = np.zeros((4, 4, 3)); b = np.ones((4, 4, 3)) * 0.1
+    assert abs(mse(a, b) - 0.01) < 1e-12
+    assert abs(psnr(a, b) - 20.0) < 1e-9
+    assert psnr(a, a) == float("inf")
