@@ -82,6 +82,13 @@ PRESETS = {
         scene="full", width=512, height=512, passes=100,
         rounds=8, photons_per_round=131072,
     ),
+    # The reference's own converged workload: 1024x1024 canvas
+    # (Camera.h:16-17), ~50M photons total (README.md:349), jittered passes.
+    "reference1024": RenderConfig(
+        scene="full", width=1024, height=1024, passes=50,
+        rounds=8, photons_per_round=131072, deposit="grid",
+        deposit_compact_frac=0.4, checkpoint_every=5,
+    ),
 }
 
 
