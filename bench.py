@@ -76,12 +76,15 @@ def main() -> int:
         scene="full", width=res, height=res, passes=1, rounds=rounds,
         photons_per_round=photons, max_depth=13, atlas_res=128,
         bezier_compact_frac=0.25, newton_restarts=4, newton_iters=10,
-        update_mode="sppm", deposit="grid", deposit_compact_frac=0.4,
+        update_mode="sppm", deposit="bruteforce", deposit_compact_frac=0.3,
+        hitpoint_factor=1.3,
     )
     scene = build_scene(cfg)
     newton_fn = None
-    from raytrace3_tpu.ops.grid import make_grid_deposit
-    deposit_fn = make_grid_deposit(max_per_cell=64)
+    # Measured on the v5e: the all-pairs MXU matmul deposit beats the
+    # gather-based grid ~15x at these sizes (grid wins only via a future
+    # Pallas DMA kernel); Pallas Newton beats jnp 17x.
+    deposit_fn = None
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
 
