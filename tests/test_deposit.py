@@ -103,3 +103,33 @@ def test_compact_deposits(rng):
     # tight capacity: subset (counts never exceed full)
     c3 = deposit_bruteforce(hp, compact_deposits(dep, nvalid // 2))
     assert (np.asarray(c3[0]) <= np.asarray(c0[0]) + 1e-6).all()
+
+
+def test_banded_matches_bruteforce(rng):
+    from raytrace3_tpu.ops.banded import make_banded_deposit
+
+    hp, dep = _random_case(rng, C=400, D=900)
+    banded = make_banded_deposit(tile=64, window=900)  # full window = exact
+    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+    gc, gt = jax.jit(banded)(hp, dep)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_banded_narrow_window_still_exact_for_sparse(rng):
+    """With points spread over a wide slab, a narrow window still captures
+    every in-radius pair (the whole point of the banding)."""
+    from raytrace3_tpu.ops.banded import make_banded_deposit
+
+    hp, dep = _random_case(rng, C=300, D=2000)
+    # spread x over [0, 400] so each sqrt(2) slab holds few deposits
+    f = 10.0
+    hp = hp.replace(pos=hp.pos * jnp.asarray([f, 1.0, 1.0]))
+    dep = dep.replace(pos=dep.pos * jnp.asarray([f, 1.0, 1.0]))
+    banded = make_banded_deposit(tile=32, window=256)
+    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+    gc, gt = jax.jit(banded)(hp, dep)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                               rtol=2e-4, atol=1e-4)
