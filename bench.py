@@ -64,6 +64,16 @@ def main() -> int:
 
     import jax
 
+    # Persistent compilation cache: the 512^2 graph takes ~20 min to compile
+    # on the remote-TPU path; cache it across processes.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception as e:
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+
     if platform:
         jax.config.update("jax_platforms", platform)
     import numpy as np
@@ -76,15 +86,15 @@ def main() -> int:
         scene="full", width=res, height=res, passes=1, rounds=rounds,
         photons_per_round=photons, max_depth=13, atlas_res=128,
         bezier_compact_frac=0.25, newton_restarts=4, newton_iters=10,
-        update_mode="sppm", deposit="bruteforce", deposit_compact_frac=0.3,
+        update_mode="sppm", deposit="banded", deposit_compact_frac=0.3,
         hitpoint_factor=1.3,
     )
     scene = build_scene(cfg)
     newton_fn = None
-    # Measured on the v5e: the all-pairs MXU matmul deposit beats the
-    # gather-based grid ~15x at these sizes (grid wins only via a future
-    # Pallas DMA kernel); Pallas Newton beats jnp 17x.
-    deposit_fn = None
+    # Measured on the v5e (see git history): banded deposit + Pallas Newton
+    # is the fastest combination at 512^2.
+    from raytrace3_tpu.ops.banded import make_banded_deposit
+    deposit_fn = make_banded_deposit(tile=1024, window=32768)
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
 
