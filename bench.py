@@ -85,7 +85,8 @@ def main() -> int:
     cfg = RenderConfig(
         scene="full", width=res, height=res, passes=1, rounds=rounds,
         photons_per_round=photons, max_depth=13, atlas_res=128,
-        bezier_compact_frac=0.25, newton_restarts=4, newton_iters=10,
+        bezier_compact_frac=0.09, bezier_compact_frac_photon=0.05,
+        newton_restarts=4, newton_iters=10,
         update_mode="sppm", deposit="banded", deposit_compact_frac=0.3,
         hitpoint_factor=1.3,
     )

@@ -54,6 +54,11 @@ def make_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
     base_look = jnp.asarray(base_look, jnp.float32)
     if deposit_fn is None:
         deposit_fn = deposit_bruteforce
+    photon_scene = None
+    if cfg.bezier_compact_frac_photon >= 0.0 and scene.has_bezier:
+        photon_scene = scene.replace(
+            bezier_compact_frac=cfg.bezier_compact_frac_photon
+        )
 
     def one_pass(key):
         kj, kp = jax.random.split(key)
@@ -73,6 +78,7 @@ def make_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
             newton_fn=newton_fn,
             deposit_compact_frac=cfg.deposit_compact_frac,
             debias_roulette=cfg.debias_roulette,
+            photon_scene=photon_scene,
         )
         return img.reshape(cfg.height, cfg.width, 3), stats
 

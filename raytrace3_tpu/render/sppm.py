@@ -134,6 +134,7 @@ def render_pass(
     newton_fn=None,
     deposit_compact_frac: float = 1.0,
     debias_roulette: bool = False,
+    photon_scene: Scene | None = None,
 ):
     """One full SPPM pass: eye trace -> photon rounds -> pixel estimate.
 
@@ -146,8 +147,12 @@ def render_pass(
         scene, cam_org, cam_dir, hitpoint_capacity, max_depth, slots,
         init_r2, newton_fn=newton_fn,
     )
+    # The photon pass may use different static tuning (e.g. a much smaller
+    # Bezier ray-compaction fraction: photons hit the teapot AABB on ~1% of
+    # segments vs ~4% of eye rays).
     hp = photon_rounds(
-        scene, key, hp, n_rounds, photons_per_round, max_depth,
+        photon_scene if photon_scene is not None else scene,
+        key, hp, n_rounds, photons_per_round, max_depth,
         update_mode, deposit_fn, newton_fn,
         deposit_compact_frac=deposit_compact_frac,
         debias_roulette=debias_roulette,

@@ -32,7 +32,8 @@ class RenderConfig:
     jitter: float = 0.00015             # camera AA jitter (Raytracer.h:434)
     seed: int = 0
     atlas_res: int = 256
-    bezier_compact_frac: float = 0.25
+    bezier_compact_frac: float = 0.25       # eye-pass ray compaction
+    bezier_compact_frac_photon: float = -1.0  # photon-pass (<0 = same as eye)
     newton_iters: int = 10
     newton_restarts: int = 4
     deposit: str = "bruteforce"         # or "grid"
