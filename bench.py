@@ -94,8 +94,8 @@ def main() -> int:
     newton_fn = None
     # Measured on the v5e (see git history): banded deposit + Pallas Newton
     # is the fastest combination at 512^2.
-    from raytrace3_tpu.ops.banded import make_banded_deposit
-    deposit_fn = make_banded_deposit(tile=1024, window=32768)
+    from raytrace3_tpu.ops.banded2 import make_banded2_deposit
+    deposit_fn = make_banded2_deposit(tile=512, window=16384, batch_tiles=16)
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
 

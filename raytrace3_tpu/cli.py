@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=None, help="max trace depth")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--update-mode", choices=["sppm", "reference"], default=None)
-    p.add_argument("--deposit", choices=["bruteforce", "grid"], default=None)
+    p.add_argument("--deposit", choices=["bruteforce", "grid", "banded"], default=None)
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas TPU kernels")
     p.add_argument("--out", default=None, help="output PNG path")
@@ -88,6 +88,9 @@ def main(argv=None) -> int:
     if cfg.deposit == "grid":
         from .ops.grid import make_grid_deposit
         deposit_fn = make_grid_deposit()
+    elif cfg.deposit == "banded":
+        from .ops.banded2 import make_banded2_deposit
+        deposit_fn = make_banded2_deposit()
 
     if args.sharded:
         from .parallel.shard import render_sharded

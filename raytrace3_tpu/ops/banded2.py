@@ -1,0 +1,190 @@
+"""Two-key banded deposit: bucket-aligned tiles + 3 windows per tile.
+
+ops/banded.py bands along one axis only; that degenerates on axis-aligned
+surfaces PERPENDICULAR to the band axis (the reference scene's left/right
+walls put ~15% of all deposits at x ~= 1 — one slab swallows them all and
+the window overflows).
+
+Design here:
+  * both sides sort by the lexicographic key
+        key = x_bucket * KEY_STRIDE + y,   x_bucket = floor(x / (2r)),
+  * hit points are additionally laid out in a BUCKET-ALIGNED padded buffer:
+    each x-bucket's run is padded to a multiple of the tile size, so every
+    tile lives in exactly ONE bucket (tiles can never straddle the major
+    key — the failure mode of naive tiling over sparse regions),
+  * a hit point's neighbours (|dx| <= r < bucket/2) lie in buckets
+    {kb-1, kb, kb+1}; with |dy| bounded by the tile's y-span + r, that is
+    THREE contiguous key windows per tile, each loaded as one dynamic-slice
+    block — no per-element gathers, pair math stays the brute-force matmul,
+  * per-window width ``window`` bounds the y-band occupancy (overflow drops
+    the tail; size generously — tested exact on uniform and adversarial
+    wall distributions in tests/test_deposit.py).
+
+Cost: O(C x 3W) instead of O(C x D) — with W ~ deposits per (bucket x
+y-band) this is a ~20-50x cut on the reference scene while staying fully
+MXU/VPU-vectorised.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Deposits, HitPoints
+from ..render.deposit import NORMAL_DOT_MIN
+
+SEARCH_R = math.sqrt(2.0)
+#: Key stride must exceed the scene's coordinate extent along the y key.
+KEY_STRIDE = 4096.0
+#: Static scene bounds along the bucket axis (reference scene fits easily).
+DEFAULT_X_LO = -40.0
+DEFAULT_X_HI = 200.0
+
+
+def make_banded2_deposit(tile: int = 512, window: int = 8192,
+                         axes=(0, 1), search_r: float = SEARCH_R,
+                         batch_tiles: int = 16,
+                         x_lo: float = DEFAULT_X_LO,
+                         x_hi: float = DEFAULT_X_HI):
+    """Build deposit_fn(hp, dep) -> (d_nphot, d_tao)."""
+    ax, ay = axes
+    bucket = 2.0 * search_r
+    n_buckets = int(math.ceil((x_hi - x_lo) / bucket)) + 1
+
+    def deposit_fn(hp: HitPoints, dep: Deposits):
+        C = hp.capacity
+        D = dep.pos.shape[0]
+        t = min(tile, C)
+        w = min(window, D)
+
+        def kx_of(pos):
+            return jnp.clip(
+                jnp.floor((pos[:, ax] - x_lo) / bucket).astype(jnp.int32),
+                0, n_buckets - 1,
+            )
+
+        # ---- deposit side: plain (bucket, y) sort ----
+        dkx = kx_of(dep.pos)
+        dkey = jnp.where(
+            dep.valid, dkx * KEY_STRIDE + dep.pos[:, ay],
+            (n_buckets + 2) * KEY_STRIDE,
+        )
+        d_ord = jnp.argsort(dkey)
+        dkeys = dkey[d_ord]
+        dpos = dep.pos[d_ord]
+        dn = dep.n[d_ord]
+        dflux = jnp.where(dep.valid[d_ord, None], dep.flux[d_ord], 0.0)
+        dvalid = dep.valid[d_ord]
+
+        # ---- hit-point side: (bucket, y) sort, then bucket-aligned pad ----
+        hkx = kx_of(hp.pos)
+        hkx = jnp.where(hp.valid, hkx, n_buckets)  # invalid -> overflow bkt
+        hkey = hkx.astype(jnp.float32) * KEY_STRIDE + jnp.where(
+            hp.valid, hp.pos[:, ay], 0.0
+        )
+        h_ord = jnp.argsort(hkey)
+        kx_sorted = hkx[h_ord]
+
+        counts = jnp.bincount(kx_sorted, length=n_buckets + 1)
+        padded = ((counts + t - 1) // t) * t
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), padded.dtype), jnp.cumsum(padded)[:-1]]
+        )
+        # rank within own bucket = sorted index - first index of the bucket
+        first_idx = jnp.searchsorted(kx_sorted, kx_sorted)
+        dest = offsets[kx_sorted] + (jnp.arange(C) - first_idx)
+
+        # static upper bound on the padded layout size, tile-aligned
+        c_pad = ((C + t - 1) // t) * t + (n_buckets + 1) * t
+        scat = lambda x, fill: jnp.full((c_pad,) + x.shape[1:], fill,
+                                        x.dtype).at[dest].set(x[h_ord])
+        hpos = scat(hp.pos, 0.0)
+        hn = scat(hp.n, 0.0)
+        hr2 = scat(hp.r2, 0.0)
+        hval = scat(hp.valid, False)
+        # bucket id per layout slot (for window lookup); padding slots get
+        # their tile's bucket via the offsets structure:
+        slot_kx = jnp.zeros((c_pad,), jnp.int32).at[dest].set(
+            kx_sorted, mode="drop"
+        )
+        # propagate bucket ids into padding slots tile-wise via maximum
+        n_tiles = c_pad // t
+        slot_kx = jnp.max(slot_kx.reshape(n_tiles, t), axis=1)   # (n_tiles,)
+
+        tpv = hval.reshape(n_tiles, t)
+        tpy = hpos.reshape(n_tiles, t, 3)[..., ay]
+        y_lo = jnp.where(tpv, tpy, jnp.inf).min(1) - search_r
+        y_hi = jnp.where(tpv, tpy, -jnp.inf).max(1) + search_r
+
+        # windows for buckets kb-1, kb, kb+1, each at this tile's y_lo
+        kb = slot_kx.astype(jnp.float32)
+        lo_keys = jnp.stack(
+            [(kb - 1.0) * KEY_STRIDE + y_lo,
+             kb * KEY_STRIDE + y_lo,
+             (kb + 1.0) * KEY_STRIDE + y_lo], axis=1,
+        )
+        lo_keys = jnp.where(jnp.isfinite(lo_keys), lo_keys,
+                            (n_buckets + 2) * KEY_STRIDE)
+        starts = jnp.searchsorted(dkeys, lo_keys.reshape(-1)).reshape(
+            n_tiles, 3
+        )
+        starts = jnp.clip(starts, 0, max(D - w, 0))
+
+        def tile_body(i):
+            hp_t = jax.lax.dynamic_slice_in_dim(hpos, i * t, t)
+            hn_t = jax.lax.dynamic_slice_in_dim(hn, i * t, t)
+            r2_t = jax.lax.dynamic_slice_in_dim(hr2, i * t, t)
+            hv_t = jax.lax.dynamic_slice_in_dim(hval, i * t, t)
+            h2 = jnp.sum(hp_t * hp_t, -1)
+
+            s3 = jnp.sort(starts[i])
+            init = (jnp.zeros(t, dpos.dtype), jnp.zeros((t, 3), dpos.dtype),
+                    jnp.int32(0))
+
+            def win(carry, idx):
+                cnt, fl, cov_end = carry
+                s = s3[idx]
+                # dedupe: skip lanes earlier windows already covered
+                s_eff = jnp.maximum(s, cov_end)
+                take = jnp.clip(s_eff, 0, max(D - w, 0))
+                dp = jax.lax.dynamic_slice_in_dim(dpos, take, w)
+                dnn = jax.lax.dynamic_slice_in_dim(dn, take, w)
+                df = jax.lax.dynamic_slice_in_dim(dflux, take, w)
+                dv = jax.lax.dynamic_slice_in_dim(dvalid, take, w)
+                lane = jnp.arange(w) + take
+                fresh = lane >= s_eff
+                d2 = (
+                    h2[:, None]
+                    + jnp.sum(dp * dp, -1)[None, :]
+                    - 2.0 * (hp_t @ dp.T)
+                )
+                m = (
+                    (d2 <= r2_t[:, None])
+                    & ((hn_t @ dnn.T) > NORMAL_DOT_MIN)
+                    & (dv & fresh)[None, :]
+                    & hv_t[:, None]
+                ).astype(dp.dtype)
+                return (cnt + m.sum(1), fl + m @ df,
+                        jnp.maximum(cov_end, s_eff + w).astype(jnp.int32)), None
+
+            (cnt, fl, _), _ = jax.lax.scan(win, init, jnp.arange(3))
+            return cnt, fl
+
+        bs = min(batch_tiles, n_tiles)
+        cnt_tiles, flux_tiles = jax.lax.map(
+            tile_body, jnp.arange(n_tiles), batch_size=bs
+        )
+        cnt_lay = cnt_tiles.reshape(-1)
+        flux_lay = flux_tiles.reshape(-1, 3)
+
+        # gather back: original hp i -> layout slot dest[rank(i)]
+        cnt_sorted = cnt_lay[dest]                  # (C,) in sorted order
+        flux_sorted = flux_lay[dest]
+        cnt = jnp.zeros(C, dpos.dtype).at[h_ord].set(cnt_sorted)
+        flux = jnp.zeros((C, 3), dpos.dtype).at[h_ord].set(flux_sorted)
+        return cnt, hp.wgt * flux / jnp.pi
+
+    return deposit_fn

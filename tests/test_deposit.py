@@ -133,3 +133,48 @@ def test_banded_narrow_window_still_exact_for_sparse(rng):
     np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
                                rtol=2e-4, atol=1e-4)
+
+
+def _wall_case(rng, C=500, D=3000):
+    """Adversarial distribution: most deposits on an x-perpendicular wall
+    (x ~= 1), like the reference's left wall — breaks 1-D banding."""
+    hp, dep = _random_case(rng, C=C, D=D)
+    wallish = rng.uniform(size=D) < 0.6
+    pos = np.asarray(dep.pos).copy()
+    pos[wallish, 0] = 1.0 + rng.uniform(-0.05, 0.05, wallish.sum())
+    pos[wallish, 1] = rng.uniform(0, 80, wallish.sum())
+    pos[wallish, 2] = rng.uniform(0, 160, wallish.sum())
+    dep = dep.replace(pos=jnp.asarray(pos))
+    hpp = np.asarray(hp.pos).copy()
+    wh = rng.uniform(size=C) < 0.5
+    hpp[wh, 0] = 1.0
+    hpp[wh, 1] = rng.uniform(0, 80, wh.sum())
+    hpp[wh, 2] = rng.uniform(0, 160, wh.sum())
+    hp = hp.replace(pos=jnp.asarray(hpp))
+    return hp, dep
+
+
+def test_banded2_matches_bruteforce_uniform(rng):
+    from raytrace3_tpu.ops.banded2 import make_banded2_deposit
+
+    hp, dep = _random_case(rng, C=400, D=900)
+    b2 = make_banded2_deposit(tile=64, window=900)
+    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+    gc, gt = jax.jit(b2)(hp, dep)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_banded2_wall_distribution_narrow_window(rng):
+    """The wall pathology: 1-D banding would need a window of ~all wall
+    deposits; the 2-key banding stays exact with a small window."""
+    from raytrace3_tpu.ops.banded2 import make_banded2_deposit
+
+    hp, dep = _wall_case(rng)
+    b2 = make_banded2_deposit(tile=32, window=512)
+    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+    gc, gt = jax.jit(b2)(hp, dep)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                               rtol=2e-4, atol=1e-4)
