@@ -46,10 +46,13 @@ DEFAULT_X_HI = 200.0
 
 def make_banded2_deposit(tile: int = 512, window: int = 8192,
                          axes=(0, 1), search_r: float = SEARCH_R,
-                         batch_tiles: int = 16,
+                         batch_tiles: int = 16, chunk: int = 0,
                          x_lo: float = DEFAULT_X_LO,
                          x_hi: float = DEFAULT_X_HI):
-    """Build deposit_fn(hp, dep) -> (d_nphot, d_tao)."""
+    """Build deposit_fn(hp, dep) -> (d_nphot, d_tao).
+
+    ``chunk`` > 0 processes each window in sub-chunks of that many deposit
+    lanes (smaller live intermediates -> less HBM pressure on TPU)."""
     ax, ay = axes
     bucket = 2.0 * search_r
     n_buckets = int(math.ceil((x_hi - x_lo) / bucket)) + 1
@@ -144,18 +147,13 @@ def make_banded2_deposit(tile: int = 512, window: int = 8192,
             init = (jnp.zeros(t, dpos.dtype), jnp.zeros((t, 3), dpos.dtype),
                     jnp.int32(0))
 
-            def win(carry, idx):
-                cnt, fl, cov_end = carry
-                s = s3[idx]
-                # dedupe: skip lanes earlier windows already covered
-                s_eff = jnp.maximum(s, cov_end)
-                take = jnp.clip(s_eff, 0, max(D - w, 0))
-                dp = jax.lax.dynamic_slice_in_dim(dpos, take, w)
-                dnn = jax.lax.dynamic_slice_in_dim(dn, take, w)
-                df = jax.lax.dynamic_slice_in_dim(dflux, take, w)
-                dv = jax.lax.dynamic_slice_in_dim(dvalid, take, w)
-                lane = jnp.arange(w) + take
-                fresh = lane >= s_eff
+            def pair_block(take, lane_lo, lane_hi, width, cnt, fl):
+                dp = jax.lax.dynamic_slice_in_dim(dpos, take, width)
+                dnn = jax.lax.dynamic_slice_in_dim(dn, take, width)
+                df = jax.lax.dynamic_slice_in_dim(dflux, take, width)
+                dv = jax.lax.dynamic_slice_in_dim(dvalid, take, width)
+                lane = jnp.arange(width) + take
+                fresh = (lane >= lane_lo) & (lane < lane_hi)
                 d2 = (
                     h2[:, None]
                     + jnp.sum(dp * dp, -1)[None, :]
@@ -167,7 +165,34 @@ def make_banded2_deposit(tile: int = 512, window: int = 8192,
                     & (dv & fresh)[None, :]
                     & hv_t[:, None]
                 ).astype(dp.dtype)
-                return (cnt + m.sum(1), fl + m @ df,
+                return cnt + m.sum(1), fl + m @ df
+
+            def win(carry, idx):
+                cnt, fl, cov_end = carry
+                s = s3[idx]
+                # dedupe: skip lanes earlier windows already covered
+                s_eff = jnp.maximum(s, cov_end)
+                take = jnp.clip(s_eff, 0, max(D - w, 0))
+                lane_hi = take + w  # this window covers lanes [s_eff, take+w)
+                if chunk and chunk < w:
+                    n_chunks = (w + chunk - 1) // chunk
+
+                    def sub(carry2, j):
+                        c2, f2 = carry2
+                        off = jnp.clip(take + j * chunk, 0,
+                                       max(D - chunk, 0))
+                        # chunk j owns lanes [take + j*chunk, take+(j+1)*chunk)
+                        lo = jnp.maximum(s_eff, take + j * chunk)
+                        hi = jnp.minimum(lane_hi, take + (j + 1) * chunk)
+                        c2, f2 = pair_block(off, lo, hi, chunk, c2, f2)
+                        return (c2, f2), None
+
+                    (cnt, fl), _ = jax.lax.scan(
+                        sub, (cnt, fl), jnp.arange(n_chunks)
+                    )
+                else:
+                    cnt, fl = pair_block(take, s_eff, lane_hi, w, cnt, fl)
+                return (cnt, fl,
                         jnp.maximum(cov_end, s_eff + w).astype(jnp.int32)), None
 
             (cnt, fl, _), _ = jax.lax.scan(win, init, jnp.arange(3))

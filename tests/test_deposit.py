@@ -178,3 +178,17 @@ def test_banded2_wall_distribution_narrow_window(rng):
     np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
                                rtol=2e-4, atol=1e-4)
+
+
+def test_banded2_chunked_matches_unchunked(rng):
+    from raytrace3_tpu.ops.banded2 import make_banded2_deposit
+
+    hp, dep = _wall_case(rng)
+    a = make_banded2_deposit(tile=32, window=1024)(hp, dep)
+    b = make_banded2_deposit(tile=32, window=1024, chunk=256)(hp, dep)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                               rtol=1e-5, atol=1e-6)
+    # and still equals brute force
+    bc, _ = deposit_bruteforce(hp, dep)
+    np.testing.assert_allclose(np.asarray(b[0]), np.asarray(bc), rtol=1e-5)
