@@ -29,6 +29,7 @@ needs no backward pass of its own.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,57 +40,65 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.vecmath import M_EPS, MAX_DIST
 
 LANES = 128
-RESTARTS = 16           # 4x4 stratified grid
-PATCHES_PER_GROUP = LANES // RESTARTS   # 8
+#: default restart count; 16 = 4x4 stratified grid, 8 patches per group.
+#: 8 (=2x4 grid, 16 patches/group) halves the work at slightly looser
+#: root selection (validated in tests against the 16-restart solver).
+DEFAULT_RESTARTS = 16
 BIG = float(MAX_DIST)
 
 
-def _build_tables(ctrl: np.ndarray | jnp.ndarray):
+def _build_tables(ctrl: np.ndarray | jnp.ndarray, restarts: int):
     """Precompute per-lane coefficient tables.
 
     ctrl (B, 4, 4, 3) ->
       coef:  (G, 48, LANES)  rows = ctrl[i, k, c] flattened (c*16 + i*4 + k),
       aabb:  (G, 6, LANES)   rows = (min_xyz, max_xyz),
-      pid:   (G, LANES)      global patch id per lane (int32),
-      valid: (G, LANES)      lane has a real patch (padding mask).
+      pid:   (G, 1, LANES)   global patch id per lane (int32),
+      valid: (G, 1, LANES)   lane has a real patch (padding mask).
     """
+    ppg = LANES // restarts
     ctrl = jnp.asarray(ctrl, jnp.float32)
     b = ctrl.shape[0]
-    g = -(-b // PATCHES_PER_GROUP)
-    pad = g * PATCHES_PER_GROUP - b
+    g = -(-b // ppg)
+    pad = g * ppg - b
     ctrl_p = jnp.pad(ctrl, ((0, pad), (0, 0), (0, 0), (0, 0)))
     valid_p = jnp.concatenate([
         jnp.ones((b,), bool), jnp.zeros((pad,), bool)
     ])
 
-    flat = ctrl_p.transpose(0, 3, 1, 2).reshape(g, PATCHES_PER_GROUP, 48)
-    # lane = patch_sub * RESTARTS + restart -> repeat each patch coeff x16
-    coef = jnp.repeat(flat, RESTARTS, axis=1)            # (G, 8*16, 48)
+    flat = ctrl_p.transpose(0, 3, 1, 2).reshape(g, ppg, 48)
+    # lane = patch_sub * restarts + restart -> repeat each patch coefficient
+    coef = jnp.repeat(flat, restarts, axis=1)            # (G, ppg*restarts, 48)
     coef = coef.transpose(0, 2, 1)                       # (G, 48, LANES)
 
-    pts = ctrl_p.reshape(g, PATCHES_PER_GROUP, 16, 3)
-    lo = pts.min(2)                                      # (G, 8, 3)
+    pts = ctrl_p.reshape(g, ppg, 16, 3)
+    lo = pts.min(2)                                      # (G, ppg, 3)
     hi = pts.max(2)
-    aabb = jnp.concatenate([lo, hi], axis=-1)            # (G, 8, 6)
-    aabb = jnp.repeat(aabb, RESTARTS, axis=1).transpose(0, 2, 1)  # (G,6,LANES)
+    aabb = jnp.concatenate([lo, hi], axis=-1)            # (G, ppg, 6)
+    aabb = jnp.repeat(aabb, restarts, axis=1).transpose(0, 2, 1)  # (G,6,LANES)
 
     pid = jnp.repeat(
-        jnp.arange(g * PATCHES_PER_GROUP, dtype=jnp.int32).reshape(g, -1),
-        RESTARTS, axis=1,
+        jnp.arange(g * ppg, dtype=jnp.int32).reshape(g, -1),
+        restarts, axis=1,
     ).reshape(g, 1, LANES)  # leading singleton: Mosaic requires the block's
     #                         second-to-last dim to equal the array's
-    vld = jnp.repeat(valid_p.reshape(g, -1), RESTARTS, axis=1)
+    vld = jnp.repeat(valid_p.reshape(g, -1), restarts, axis=1)
     vld = vld.astype(jnp.float32).reshape(g, 1, LANES)
     return coef, aabb, pid, vld
 
 
-def _uv0_rows():
-    """Initial (u0, v0) per lane: 4x4 stratified cell centres tiled over the
-    8 patch sub-slots."""
-    c = (np.arange(4) + 0.5) / 4.0
-    uu, vv = np.meshgrid(c, c, indexing="ij")
-    u0 = np.tile(uu.ravel(), PATCHES_PER_GROUP)
-    v0 = np.tile(vv.ravel(), PATCHES_PER_GROUP)
+def _uv0_rows(restarts: int):
+    """Initial (u0, v0) per lane: a stratified (gu x gv) cell-centre grid
+    tiled over the patch sub-slots (gu*gv = restarts)."""
+    gu = int(math.isqrt(restarts))
+    while restarts % gu:
+        gu -= 1
+    gv = restarts // gu
+    cu = (np.arange(gu) + 0.5) / gu
+    cv = (np.arange(gv) + 0.5) / gv
+    uu, vv = np.meshgrid(cu, cv, indexing="ij")
+    u0 = np.tile(uu.ravel(), LANES // restarts)
+    v0 = np.tile(vv.ravel(), LANES // restarts)
     return (np.asarray(u0, np.float32)[None, :],
             np.asarray(v0, np.float32)[None, :])         # (1, LANES) numpy
 
@@ -264,7 +273,8 @@ def _newton_kernel(org_ref, dir_ref, coef_ref, aabb_ref, pid_ref, vld_ref,
 
 
 def make_newton_pallas(iters: int = 10, tile_r: int = 256,
-                       residual2_eps: float = M_EPS, interpret: bool = False):
+                       residual2_eps: float = M_EPS, interpret: bool = False,
+                       restarts: int = DEFAULT_RESTARTS):
     """Build a winner-contract solver backed by the Pallas kernel.
 
     Returns solver(org, dir, ctrl) -> (t, u, v, patch_id, hit), each (R,).
@@ -279,7 +289,7 @@ def make_newton_pallas(iters: int = 10, tile_r: int = 256,
             dir, ((0, pad), (0, 0)), constant_values=1.0
         )  # nonzero dir on pad lanes avoids 0-division noise
         rp = R + pad
-        coef, aabb, pid, vld = _build_tables(ctrl)
+        coef, aabb, pid, vld = _build_tables(ctrl, restarts)
         g = coef.shape[0]
 
         kernel = functools.partial(
@@ -323,7 +333,7 @@ def make_newton_pallas(iters: int = 10, tile_r: int = 256,
             ],
             interpret=interpret,
         )
-        u0r, v0r = _uv0_rows()
+        u0r, v0r = _uv0_rows(restarts)
         uv0 = jnp.asarray(np.concatenate([u0r, v0r], 0))
         out = kernel_call(org_p, dir_p, coef, aabb, pid, vld, uv0)
         t, u, v, p = out
