@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import Deposits, HitPoints
-from ..render.deposit import NORMAL_DOT_MIN
+from ..render.deposit import NORMAL_DOT_MIN, _PREC, pair_d2_ndot
 
 
 def _pad_to(x, n):
@@ -52,18 +52,15 @@ def _masks_and_sums(hp_pos, hp_n, hp_r2, hp_valid, wgt, dep, chunk):
         cnt, fl = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
         dpc, dnc, dfc, dvc = sl(dp), sl(dn), sl(df), sl(dv)
-        d2 = (
-            jnp.sum(hp_pos * hp_pos, -1)[:, None]
-            + jnp.sum(dpc * dpc, -1)[None, :]
-            - 2.0 * hp_pos @ dpc.T
-        )
+        d2, ndot = pair_d2_ndot(hp_pos, hp_n, dpc, dnc)
         m = (
             (d2 <= hp_r2[:, None])
-            & ((hp_n @ dnc.T) > NORMAL_DOT_MIN)
+            & (ndot > NORMAL_DOT_MIN)
             & dvc[None, :]
             & hp_valid[:, None]
         ).astype(dpc.dtype)
-        return (cnt + m.sum(1), fl + m @ dfc), None
+        return (cnt + m.sum(1),
+                fl + jnp.matmul(m, dfc, precision=_PREC)), None
 
     init = (jnp.zeros(hp_pos.shape[0], dp.dtype),
             jnp.zeros((hp_pos.shape[0], 3), dp.dtype))
@@ -103,18 +100,14 @@ def _bwd(chunk, res, g):
     def body(_, idx):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
         dpc, dnc, dvc = sl(dp), sl(dn), sl(dv)
-        d2 = (
-            jnp.sum(hp.pos * hp.pos, -1)[:, None]
-            + jnp.sum(dpc * dpc, -1)[None, :]
-            - 2.0 * hp.pos @ dpc.T
-        )
+        d2, ndot = pair_d2_ndot(hp.pos, hp.n, dpc, dnc)
         m = (
             (d2 <= hp.r2[:, None])
-            & ((hp.n @ dnc.T) > NORMAL_DOT_MIN)
+            & (ndot > NORMAL_DOT_MIN)
             & dvc[None, :]
             & hp.valid[:, None]
         ).astype(dpc.dtype)
-        return None, m.T @ gw                          # (chunk, 3)
+        return None, jnp.matmul(m.T, gw, precision=_PREC)  # (chunk, 3)
 
     _, d_flux_chunks = jax.lax.scan(body, None, jnp.arange(padded // chunk))
     d_flux = d_flux_chunks.reshape(padded, 3)[:D]

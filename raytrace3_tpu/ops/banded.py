@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import Deposits, HitPoints
-from ..render.deposit import NORMAL_DOT_MIN
+from ..render.deposit import NORMAL_DOT_MIN, _PREC, pair_d2_ndot
 
 #: Search radius of the reference's fixed kd-tree query (Raytracer.h:85).
 SEARCH_R = math.sqrt(2.0)
@@ -88,18 +88,14 @@ def make_banded_deposit(tile: int = 1024, window: int = 32768, axis: int = 0,
             r2_t = jax.lax.dynamic_slice_in_dim(hr2, i * t, t)
             hv_t = jax.lax.dynamic_slice_in_dim(hval, i * t, t)
 
-            d2 = (
-                jnp.sum(hp_t * hp_t, -1)[:, None]
-                + jnp.sum(dp * dp, -1)[None, :]
-                - 2.0 * (hp_t @ dp.T)
-            )
+            d2, ndot = pair_d2_ndot(hp_t, hn_t, dp, dnn)
             m = (
                 (d2 <= r2_t[:, None])
-                & ((hn_t @ dnn.T) > NORMAL_DOT_MIN)
+                & (ndot > NORMAL_DOT_MIN)
                 & dv[None, :]
                 & hv_t[:, None]
             ).astype(dp.dtype)
-            return m.sum(1), m @ df                        # (t,), (t, 3)
+            return m.sum(1), jnp.matmul(m, df, precision=_PREC)
 
         bs = min(batch_tiles, n_tiles)
         cnt_tiles, flux_tiles = jax.lax.map(

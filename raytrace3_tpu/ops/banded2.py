@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import Deposits, HitPoints
-from ..render.deposit import NORMAL_DOT_MIN
+from ..render.deposit import NORMAL_DOT_MIN, _PREC, pair_d2_ndot
 
 SEARCH_R = math.sqrt(2.0)
 #: Key stride must exceed the scene's coordinate extent along the y key.
@@ -141,7 +141,6 @@ def make_banded2_deposit(tile: int = 512, window: int = 8192,
             hn_t = jax.lax.dynamic_slice_in_dim(hn, i * t, t)
             r2_t = jax.lax.dynamic_slice_in_dim(hr2, i * t, t)
             hv_t = jax.lax.dynamic_slice_in_dim(hval, i * t, t)
-            h2 = jnp.sum(hp_t * hp_t, -1)
 
             s3 = jnp.sort(starts[i])
             init = (jnp.zeros(t, dpos.dtype), jnp.zeros((t, 3), dpos.dtype),
@@ -154,18 +153,14 @@ def make_banded2_deposit(tile: int = 512, window: int = 8192,
                 dv = jax.lax.dynamic_slice_in_dim(dvalid, take, width)
                 lane = jnp.arange(width) + take
                 fresh = (lane >= lane_lo) & (lane < lane_hi)
-                d2 = (
-                    h2[:, None]
-                    + jnp.sum(dp * dp, -1)[None, :]
-                    - 2.0 * (hp_t @ dp.T)
-                )
+                d2, ndot = pair_d2_ndot(hp_t, hn_t, dp, dnn)
                 m = (
                     (d2 <= r2_t[:, None])
-                    & ((hn_t @ dnn.T) > NORMAL_DOT_MIN)
+                    & (ndot > NORMAL_DOT_MIN)
                     & (dv & fresh)[None, :]
                     & hv_t[:, None]
                 ).astype(dp.dtype)
-                return cnt + m.sum(1), fl + m @ df
+                return cnt + m.sum(1), fl + jnp.matmul(m, df, precision=_PREC)
 
             def win(carry, idx):
                 cnt, fl, cov_end = carry

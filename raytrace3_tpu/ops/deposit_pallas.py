@@ -1,0 +1,307 @@
+"""Pallas TPU deposit kernel: exact banded flux accumulation, hot kernel #2.
+
+Replaces the reference's per-photon FLANN kd-tree radius query
+(raytracer/Raytracer.h:92-98, 137-159, 370-381) — and supersedes the pure-XLA
+banded ops (ops/banded.py, ops/banded2.py) whose (tile x window) pair
+intermediates round-trip through HBM and whose fixed window must be sized for
+the WORST tile (caustic hot spots), wasting ~10x work on average tiles.
+
+Layout (same two-key banding as ops/banded2.py):
+  * key = x_bucket * KEY_STRIDE + y with bucket width 2r, both sides sorted;
+  * hit points live in a BUCKET-ALIGNED, tile-padded layout so every tile of
+    ``tile`` consecutive slots belongs to exactly one bucket — this layout
+    depends only on positions and is built ONCE PER PASS (``prepare``), not
+    per photon round;
+  * a tile's neighbours lie in buckets {kb-1, kb, kb+1} within the tile's
+    y-range +/- r: three EXACT deposit-lane intervals per tile, found by
+    searchsorted against this round's sorted deposit keys.
+
+Work list: each tile's intervals are block-aligned (``wchunk`` lanes),
+disjoint-ified at block granularity, and flattened into a single work array
+of (tile, deposit-block) items — the Pallas grid.  Exactness needs NO lane
+masks: disjoint blocks prevent double counting, and any non-neighbour lane
+inside a fetched block fails the exact distance test (adjacent-bucket
+separation >= 2r > r; invalid/padding lanes carry positions of 1e9 and
+r2 = -1).  Per grid step the kernel accumulates a (tile, wchunk) pair test
+into a VMEM scratch accumulator; only (tile, 8)-sized results ever reach HBM.
+
+Pair math is the exact elementwise |h-d|^2 (see render/deposit.py
+``pair_d2_ndot`` — the bf16-matmul identity is numerically unusable on TPU).
+
+Cost: O(true candidate volume) VPU work + one deposit argsort per round.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import Deposits, HitPoints
+from ..render.deposit import NORMAL_DOT_MIN
+from .banded2 import DEFAULT_X_HI, DEFAULT_X_LO, KEY_STRIDE, SEARCH_R
+
+#: Sentinel position for invalid/padding deposit lanes (fails any d2 test).
+FAR = 1e9
+#: Key-margin absorbing fp32 key quantisation (resolution ~0.03 at key~4e5).
+KEY_EPS = 0.05
+
+
+@flax.struct.dataclass
+class HpLayout:
+    """Round-invariant hit-point side of the banded deposit (one per pass)."""
+
+    packed: jnp.ndarray    # (c_pad, 8): pos xyz, n xyz, r2 slot, unused
+    dest: jnp.ndarray      # (C,) layout slot of sorted-rank i
+    h_ord: jnp.ndarray     # (C,) sort permutation
+    lo_keys: jnp.ndarray   # (n_tiles, 3) window lower keys
+    hi_keys: jnp.ndarray   # (n_tiles, 3) window upper keys
+
+
+def _deposit_kernel(wt_ref, wb_ref, wc_ref, hp_ref, dep_ref, out_ref,
+                    acc_ref, *, n_steps: int):
+    s = pl.program_id(0)
+    tile = wt_ref[s]
+    prev = wt_ref[jnp.maximum(s - 1, 0)]
+    nxt = wt_ref[jnp.minimum(s + 1, n_steps - 1)]
+    is_first = (s == 0) | (tile != prev)
+    is_last = (s == n_steps - 1) | (tile != nxt)
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(wc_ref[s] == 1)
+    def _():
+        hp = hp_ref[...]                                   # (t, 8)
+        dep = dep_ref[...]                                 # (16, wchunk)
+        dx = hp[:, 0:1] - dep[0:1, :]
+        dy = hp[:, 1:2] - dep[1:2, :]
+        dz = hp[:, 2:3] - dep[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz                   # (t, wchunk)
+        ndot = (hp[:, 3:4] * dep[3:4, :]
+                + hp[:, 4:5] * dep[4:5, :]
+                + hp[:, 5:6] * dep[5:6, :])
+        m = ((d2 <= hp[:, 6:7]) & (ndot > NORMAL_DOT_MIN)).astype(jnp.float32)
+        acc_ref[:, 0:1] += jnp.sum(m, axis=1, keepdims=True)
+        acc_ref[:, 1:2] += jnp.sum(m * dep[6:7, :], axis=1, keepdims=True)
+        acc_ref[:, 2:3] += jnp.sum(m * dep[7:8, :], axis=1, keepdims=True)
+        acc_ref[:, 3:4] += jnp.sum(m * dep[8:9, :], axis=1, keepdims=True)
+
+    @pl.when(is_last)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+class PallasDeposit:
+    """deposit_fn(hp, dep) -> (d_nphot, d_tao), Pallas-backed.
+
+    ``prepare(hp)`` builds the round-invariant hit-point layout; pass its
+    result back via ``prep=`` from inside the rounds loop to amortise the
+    hit-point sort/scatter across all photon rounds of a pass.
+
+    ``work_cap`` bounds the per-call work list (tiles + deposit blocks);
+    overflowing chunks are dropped (lost flux) — size it ~2x the expected
+    candidate volume / wchunk.  ``interpret=True`` for CPU tests.
+    """
+
+    def __init__(self, tile: int = 512, wchunk: int = 1024,
+                 work_cap: int = 8192, axes=(0, 1),
+                 search_r: float = SEARCH_R, x_lo: float = DEFAULT_X_LO,
+                 x_hi: float = DEFAULT_X_HI, interpret: bool = False):
+        self.tile = tile
+        self.wchunk = wchunk
+        self.work_cap = work_cap
+        self.ax, self.ay = axes
+        self.search_r = search_r
+        self.bucket = 2.0 * search_r
+        self.x_lo = x_lo
+        self.n_buckets = int(math.ceil((x_hi - x_lo) / self.bucket)) + 1
+        self.interpret = interpret
+
+    # -- helpers -----------------------------------------------------------
+    def _kx(self, pos):
+        return jnp.clip(
+            jnp.floor((pos[:, self.ax] - self.x_lo) / self.bucket)
+            .astype(jnp.int32),
+            0, self.n_buckets - 1,
+        )
+
+    def _c_pad(self, C: int) -> int:
+        t = self.tile
+        return ((C + t - 1) // t) * t + (self.n_buckets + 1) * t
+
+    # -- once per pass -----------------------------------------------------
+    def prepare(self, hp: HitPoints) -> HpLayout:
+        t = self.tile
+        C = hp.capacity
+        nb = self.n_buckets
+        hkx = jnp.where(hp.valid, self._kx(hp.pos), nb)
+        hkey = hkx.astype(jnp.float32) * KEY_STRIDE + jnp.where(
+            hp.valid, hp.pos[:, self.ay], 0.0
+        )
+        h_ord = jnp.argsort(hkey)
+        kx_sorted = hkx[h_ord]
+
+        counts = jnp.bincount(kx_sorted, length=nb + 1)
+        padded = ((counts + t - 1) // t) * t
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), padded.dtype), jnp.cumsum(padded)[:-1]]
+        )
+        first_idx = jnp.searchsorted(kx_sorted, kx_sorted)
+        dest = offsets[kx_sorted] + (jnp.arange(C) - first_idx)
+
+        c_pad = self._c_pad(C)
+        packed = jnp.full((c_pad, 8), FAR, jnp.float32)
+        rows = jnp.concatenate(
+            [hp.pos, hp.n,
+             jnp.full((C, 1), -1.0), jnp.zeros((C, 1))], axis=1,
+        )
+        packed = packed.at[dest].set(rows[h_ord])
+        # normals of padding slots don't matter (r2 = -1 kills the test) but
+        # keep them finite:
+        packed = packed.at[:, 3:6].set(
+            jnp.where(packed[:, 3:6] >= FAR, 0.0, packed[:, 3:6])
+        )
+
+        n_tiles = c_pad // t
+        slot_kx = jnp.zeros((c_pad,), jnp.int32).at[dest].set(
+            kx_sorted, mode="drop"
+        )
+        kb = jnp.max(slot_kx.reshape(n_tiles, t), axis=1).astype(jnp.float32)
+
+        tv = jnp.zeros((c_pad,), bool).at[dest].set(
+            hp.valid[h_ord], mode="drop"
+        ).reshape(n_tiles, t)
+        ty = packed[:, self.ay].reshape(n_tiles, t)
+        y_lo = jnp.where(tv, ty, jnp.inf).min(1) - self.search_r - KEY_EPS
+        y_hi = jnp.where(tv, ty, -jnp.inf).max(1) + self.search_r + KEY_EPS
+
+        offs = jnp.asarray([-1.0, 0.0, 1.0])
+        lo_keys = (kb[:, None] + offs[None, :]) * KEY_STRIDE + y_lo[:, None]
+        hi_keys = (kb[:, None] + offs[None, :]) * KEY_STRIDE + y_hi[:, None]
+        dead = ~jnp.isfinite(lo_keys) | ~jnp.isfinite(hi_keys)
+        big = (self.n_buckets + 3) * KEY_STRIDE
+        lo_keys = jnp.where(dead, big, lo_keys)
+        hi_keys = jnp.where(dead, big, hi_keys)
+        return HpLayout(packed=packed, dest=dest, h_ord=h_ord,
+                        lo_keys=lo_keys, hi_keys=hi_keys)
+
+    # -- per round ---------------------------------------------------------
+    def __call__(self, hp: HitPoints, dep: Deposits,
+                 prep: HpLayout | None = None):
+        if prep is None:
+            prep = self.prepare(hp)
+        t, wc = self.tile, self.wchunk
+        C = hp.capacity
+        c_pad = self._c_pad(C)
+        n_tiles = c_pad // t
+        W = self.work_cap
+        assert W >= n_tiles + 1, (
+            f"work_cap {W} must exceed the tile count {n_tiles}"
+        )
+
+        # refresh the per-round r2 slot (radius shrink between rounds)
+        r2_sorted = jnp.where(hp.valid, hp.r2, -1.0)[prep.h_ord]
+        packed = prep.packed.at[prep.dest, 6].set(r2_sorted)
+
+        # ---- deposit side: sort + pack (16, Dp) ----
+        D = dep.pos.shape[0]
+        Dp = ((D + wc - 1) // wc) * wc
+        n_blocks = Dp // wc
+        dkey = jnp.where(
+            dep.valid,
+            self._kx(dep.pos).astype(jnp.float32) * KEY_STRIDE
+            + dep.pos[:, self.ay],
+            (self.n_buckets + 2) * KEY_STRIDE,
+        )
+        d_ord = jnp.argsort(dkey)
+        dkeys = dkey[d_ord]
+        okc = dep.valid[d_ord, None]
+        rows = jnp.concatenate(
+            [jnp.where(okc, dep.pos[d_ord], FAR),
+             dep.n[d_ord],
+             jnp.where(okc, dep.flux[d_ord], 0.0),
+             jnp.zeros((D, 7), jnp.float32)], axis=1,
+        )                                                   # (D, 16)
+        dep_packed = jnp.zeros((16, Dp), jnp.float32).at[0:3, :].set(FAR)
+        dep_packed = jax.lax.dynamic_update_slice(dep_packed, rows.T, (0, 0))
+
+        # ---- exact per-tile lane intervals -> disjoint block intervals ----
+        s_lane = jnp.searchsorted(dkeys, prep.lo_keys.reshape(-1),
+                                  side="left").reshape(n_tiles, 3)
+        e_lane = jnp.searchsorted(dkeys, prep.hi_keys.reshape(-1),
+                                  side="right").reshape(n_tiles, 3)
+        sb = s_lane // wc
+        eb = (e_lane + wc - 1) // wc
+        sb = jnp.where(e_lane > s_lane, sb, 0)
+        eb = jnp.where(e_lane > s_lane, eb, 0)
+        # windows are key-ordered (bucket kb-1 < kb < kb+1): disjoint-ify
+        e0 = eb[:, 0]
+        s1 = jnp.maximum(sb[:, 1], e0)
+        e1 = jnp.maximum(eb[:, 1], s1)
+        s2 = jnp.maximum(sb[:, 2], e1)
+        e2 = jnp.maximum(eb[:, 2], s2)
+        s012 = jnp.stack([sb[:, 0], s1, s2], 1)
+        nc = jnp.stack([e0 - sb[:, 0], e1 - s1, e2 - s2], 1)
+        nc = jnp.maximum(nc, 0)
+        nc_tile = nc.sum(1)                                 # (n_tiles,)
+
+        items = jnp.maximum(nc_tile, 1)  # >=1 so every out tile initialises
+        cum = jnp.cumsum(items)
+        total = cum[-1]
+
+        s_idx = jnp.arange(W)
+        wt = jnp.searchsorted(cum, s_idx, side="right")     # (W,)
+        wt = jnp.minimum(wt, n_tiles - 1)
+        base = cum[wt] - items[wt]
+        j = s_idx - base
+        c01 = nc[wt, 0]
+        c012 = c01 + nc[wt, 1]
+        blk = jnp.where(
+            j < c01, s012[wt, 0] + j,
+            jnp.where(j < c012, s012[wt, 1] + (j - c01),
+                      s012[wt, 2] + (j - c012)),
+        )
+        compute = (s_idx < total) & (j < nc_tile[wt])
+        blk = jnp.clip(blk, 0, n_blocks - 1)
+        # pad items: freeze tile/block at the last real item's values so the
+        # trailing steps issue no new DMAs and never flush a wrong out tile
+        last = jnp.minimum(total - 1, W - 1)
+        wt = jnp.where(s_idx < total, wt, wt[last]).astype(jnp.int32)
+        blk = jnp.where(s_idx < total, blk, blk[last]).astype(jnp.int32)
+        wcmp = compute.astype(jnp.int32)
+
+        kernel = functools.partial(_deposit_kernel, n_steps=W)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((t, 8), lambda s, wt, wb, wcp: (wt[s], 0)),
+                pl.BlockSpec((16, wc), lambda s, wt, wb, wcp: (0, wb[s])),
+            ],
+            out_specs=pl.BlockSpec((t, 8),
+                                   lambda s, wt, wb, wcp: (wt[s], 0)),
+            scratch_shapes=[pltpu.VMEM((t, 8), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((c_pad, 8), jnp.float32),
+            interpret=self.interpret,
+        )(wt, blk, wcmp, packed, dep_packed)
+
+        cnt_sorted = out[prep.dest, 0]                      # (C,) sorted rank
+        flux_sorted = out[prep.dest, 1:4]
+        cnt = jnp.zeros(C, jnp.float32).at[prep.h_ord].set(cnt_sorted)
+        flux = jnp.zeros((C, 3), jnp.float32).at[prep.h_ord].set(flux_sorted)
+        return cnt, hp.wgt * flux / jnp.pi                  # Raytracer.h:156
+
+
+def make_pallas_deposit(**kw) -> PallasDeposit:
+    return PallasDeposit(**kw)

@@ -37,6 +37,33 @@ from ..core.types import Deposits, HitPoints
 #: Normal-agreement threshold (Raytracer.h:154).
 NORMAL_DOT_MIN = 1e-3
 
+#: Flux accumulation matmul: exact fp32 (the mask is 0/1 so only the flux
+#: values lose bits under the TPU's default-bf16 matmul; HIGHEST keeps them).
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def pair_d2_ndot(hp_pos, hp_n, dp, dn):
+    """Exact pairwise |h - d|^2 and n_h . n_d, (C, J) by broadcast.
+
+    NOT the |h|^2 + |d|^2 - 2 h.d matmul identity: TPU matmuls default to
+    bfloat16 inputs, which against ~1e2-scale scene coordinates yields d^2
+    errors of TENS of units vs the r^2 = 2.0 threshold (and even an fp32
+    matmul cancels ~1e4-scale terms to resolve ~1 unit).  The broadcast
+    difference form is exact where it matters (small separations) and rides
+    the VPU; the pair test was never real MXU work anyway (K = 3).
+    """
+    d2 = (
+        (hp_pos[:, 0, None] - dp[None, :, 0]) ** 2
+        + (hp_pos[:, 1, None] - dp[None, :, 1]) ** 2
+        + (hp_pos[:, 2, None] - dp[None, :, 2]) ** 2
+    )
+    ndot = (
+        hp_n[:, 0, None] * dn[None, :, 0]
+        + hp_n[:, 1, None] * dn[None, :, 1]
+        + hp_n[:, 2, None] * dn[None, :, 2]
+    )
+    return d2, ndot
+
 
 def _chunk_contrib(hp_pos, hp_n, hp_r2, hp_valid, dp, dn, df, dv):
     """Contribution of one deposit chunk to every hit point.
@@ -44,14 +71,7 @@ def _chunk_contrib(hp_pos, hp_n, hp_r2, hp_valid, dp, dn, df, dv):
     Returns (d_count (C,), d_flux (C, 3)); d_flux EXCLUDES the wgt/pi factor
     (applied once by the caller).
     """
-    # dist^2 via the matmul identity: |h|^2 + |d|^2 - 2 h.d  (MXU).
-    hd = hp_pos @ dp.T                                   # (C, J)
-    d2 = (
-        jnp.sum(hp_pos * hp_pos, -1)[:, None]
-        + jnp.sum(dp * dp, -1)[None, :]
-        - 2.0 * hd
-    )
-    ndot = hp_n @ dn.T                                   # (C, J)
+    d2, ndot = pair_d2_ndot(hp_pos, hp_n, dp, dn)        # (C, J)
     mask = (
         (d2 <= hp_r2[:, None])
         & (ndot > NORMAL_DOT_MIN)
@@ -59,7 +79,7 @@ def _chunk_contrib(hp_pos, hp_n, hp_r2, hp_valid, dp, dn, df, dv):
         & hp_valid[:, None]
     )
     w = mask.astype(dp.dtype)
-    return jnp.sum(w, axis=1), w @ df                    # (C,), (C, 3)
+    return jnp.sum(w, axis=1), jnp.matmul(w, df, precision=_PREC)
 
 
 def deposit_bruteforce(hp: HitPoints, dep: Deposits, chunk: int = 4096):

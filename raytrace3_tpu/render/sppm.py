@@ -82,6 +82,13 @@ def photon_rounds(
     (SURVEY.md section 2, photon-sharding axis).
     """
 
+    # Deposit backends with a ``prepare`` hook (ops/deposit_pallas.py) build
+    # their round-invariant hit-point layout ONCE per pass, outside the scan.
+    dep_call = deposit_fn
+    if hasattr(deposit_fn, "prepare"):
+        prep = deposit_fn.prepare(hp)
+        dep_call = partial(deposit_fn, prep=prep)
+
     def round_body(hp, k):
         ke, kt = jax.random.split(k)
         org, dir, flux = emit_photons(
@@ -93,7 +100,7 @@ def photon_rounds(
         if deposit_compact_frac < 1.0:
             cap = int(dep.valid.shape[0] * deposit_compact_frac)
             dep = compact_deposits(dep, max(cap, 128))
-        d_n, d_tao = deposit_fn(hp, dep)
+        d_n, d_tao = dep_call(hp, dep)
         if psum_axis is not None:
             d_n, d_tao = jax.lax.psum((d_n, d_tao), psum_axis)
         return ppm_update(hp, d_n, d_tao, update_mode), None

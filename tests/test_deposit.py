@@ -192,3 +192,61 @@ def test_banded2_chunked_matches_unchunked(rng):
     # and still equals brute force
     bc, _ = deposit_bruteforce(hp, dep)
     np.testing.assert_allclose(np.asarray(b[0]), np.asarray(bc), rtol=1e-5)
+
+
+def test_pallas_deposit_matches_bruteforce_uniform(rng):
+    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+
+    hp, dep = _random_case(rng, C=400, D=900)
+    pd = PallasDeposit(tile=64, wchunk=128, work_cap=512, interpret=True)
+    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+    gc, gt = jax.jit(pd)(hp, dep)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_pallas_deposit_wall_distribution(rng):
+    """Adversarial wall clustering: the exact per-tile intervals adapt, so
+    no window-overflow drops are possible (unlike banded/banded2)."""
+    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+
+    hp, dep = _wall_case(rng)
+    pd = PallasDeposit(tile=32, wchunk=128, work_cap=2048, interpret=True)
+    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+    gc, gt = jax.jit(pd)(hp, dep)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_pallas_deposit_prepared_layout_reuse(rng):
+    """prepare() once + r2 shrink across rounds == fresh calls."""
+    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+
+    hp, dep = _random_case(rng, C=300, D=700)
+    pd = PallasDeposit(tile=64, wchunk=128, work_cap=512, interpret=True)
+    prep = pd.prepare(hp)
+    for scale in (1.0, 0.7):
+        hp2 = hp.replace(r2=hp.r2 * scale)
+        a = pd(hp2, dep, prep=prep)
+        b = pd(hp2, dep)
+        bc, bt = deposit_bruteforce(hp2, dep)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(bc), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(bt),
+                                   rtol=2e-4, atol=1e-4)
+
+
+def test_pallas_deposit_empty_and_invalid(rng):
+    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+
+    hp, dep = _random_case(rng, C=100, D=200)
+    pd = PallasDeposit(tile=32, wchunk=128, work_cap=512, interpret=True)
+    cnt, tao = pd(hp, dep.replace(valid=jnp.zeros_like(dep.valid)))
+    assert float(jnp.abs(cnt).sum()) == 0.0
+    assert float(jnp.abs(tao).sum()) == 0.0
+    # all hit points invalid
+    cnt, tao = pd(hp.replace(valid=jnp.zeros_like(hp.valid)), dep)
+    assert float(jnp.abs(cnt).sum()) == 0.0
