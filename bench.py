@@ -82,20 +82,24 @@ def main() -> int:
     from raytrace3_tpu.utils.config import RenderConfig
 
     backend = jax.default_backend()
+    # deposit_compact_frac: regen keeps every lane live, so ~75-85% of the
+    # (segments x N) candidate records are valid diffuse deposits; 0.9 gives
+    # headroom (the deposits_dropped stat asserts nothing is clipped).
     cfg = RenderConfig(
         scene="full", width=res, height=res, passes=1, rounds=rounds,
         photons_per_round=photons, max_depth=13, atlas_res=128,
         bezier_compact_frac=0.09, bezier_compact_frac_photon=0.05,
         newton_restarts=4, newton_iters=10,
-        update_mode="sppm", deposit="banded", deposit_compact_frac=0.3,
-        hitpoint_factor=1.3,
+        update_mode="sppm", deposit="pallas", deposit_compact_frac=0.9,
+        hitpoint_factor=1.3, photon_regen=True,
     )
     scene = build_scene(cfg)
     newton_fn = None
-    # Measured on the v5e (see git history): banded deposit + Pallas Newton
-    # is the fastest combination at 512^2.
-    from raytrace3_tpu.ops.banded2 import make_banded2_deposit
-    deposit_fn = make_banded2_deposit(tile=512, window=16384, batch_tiles=16)
+    # Measured on the v5e (git history): Pallas deposit (exact banded work
+    # list) + Pallas Newton is the fastest combination at 512^2.
+    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+    deposit_fn = PallasDeposit(tile=512, wchunk=1024, work_cap=16384,
+                               interpret=backend != "tpu")
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
 
@@ -120,12 +124,15 @@ def main() -> int:
     # through the remote-TPU tunnel is amortised inside one call)
     n_timed = 2
     t0 = time.perf_counter()
+    emitted = 0.0
     for i in range(n_timed):
         img, stats = fn(jax.random.fold_in(key, i + 1))
+        emitted += float(stats["photons_emitted"])
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / n_timed
+    emitted /= n_timed
 
-    pps = rounds * photons / dt
+    pps = emitted / dt
     record = {
         "metric": "photons_per_s_teapot512",
         "value": round(pps, 1),
@@ -135,7 +142,8 @@ def main() -> int:
         "pallas_newton": newton_fn is not None,
         "pass_seconds": round(dt, 4),
         "compile_seconds": round(compile_s, 1),
-        "photons_per_pass": rounds * photons,
+        "photons_per_pass": int(emitted),
+        "deposits_dropped": int(stats["deposits_dropped"]),
         "hitpoints": int(stats["count"]),
         "cpp_baseline_photons_per_s": cpp.get("photons_per_s"),
         "cpp_threads": cpp.get("threads"),

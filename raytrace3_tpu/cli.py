@@ -28,9 +28,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=None, help="max trace depth")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--update-mode", choices=["sppm", "reference"], default=None)
-    p.add_argument("--deposit", choices=["bruteforce", "grid", "banded"], default=None)
+    p.add_argument("--deposit",
+                   choices=["bruteforce", "grid", "banded", "pallas"],
+                   default=None)
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas TPU kernels")
+    p.add_argument("--regen", action="store_true",
+                   help="refill dead photon lanes every segment "
+                        "(more photons/s at identical expectation)")
     p.add_argument("--out", default=None, help="output PNG path")
     p.add_argument("--checkpoint", default=None, help="checkpoint file path")
     p.add_argument("--checkpoint-every", type=int, default=None)
@@ -73,6 +78,7 @@ def main(argv=None) -> int:
     if args.update_mode: over["update_mode"] = args.update_mode
     if args.deposit: over["deposit"] = args.deposit
     if args.pallas: over["use_pallas"] = True
+    if args.regen: over["photon_regen"] = True
     if args.out: over["out"] = args.out
     if args.checkpoint_every is not None:
         over["checkpoint_every"] = args.checkpoint_every
@@ -91,6 +97,13 @@ def main(argv=None) -> int:
     elif cfg.deposit == "banded":
         from .ops.banded2 import make_banded2_deposit
         deposit_fn = make_banded2_deposit()
+    elif cfg.deposit == "pallas":
+        import jax as _jax
+
+        from .ops.deposit_pallas import PallasDeposit
+        deposit_fn = PallasDeposit(
+            interpret=_jax.default_backend() != "tpu"
+        )
 
     if args.sharded:
         from .parallel.shard import render_sharded

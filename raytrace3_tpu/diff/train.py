@@ -167,7 +167,7 @@ def _make_sharded_loss(scene: Scene, cfg: RenderConfig, mesh, camera_pose,
                                              tiled=True),
                 hp_local,
             )
-            hp = photon_rounds(
+            hp, _, _ = photon_rounds(
                 s, jax.random.fold_in(kpass, fi), hp, cfg.rounds,
                 local_photons, cfg.max_depth, cfg.update_mode, dep_fn,
                 newton_fn, psum_axis=PHOTON_AXIS,

@@ -88,7 +88,7 @@ def make_sharded_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
 
         # --- photon rounds: local shard of photons, psum'd deposits ---
         kshard = jax.random.fold_in(kp, fi)
-        hp = photon_rounds(
+        hp, _, _ = photon_rounds(
             scene, kshard, hp, cfg.rounds, local_photons, cfg.max_depth,
             cfg.update_mode, deposit_fn, newton_fn, psum_axis=PHOTON_AXIS,
         )

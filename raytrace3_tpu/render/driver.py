@@ -79,6 +79,7 @@ def make_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
             deposit_compact_frac=cfg.deposit_compact_frac,
             debias_roulette=cfg.debias_roulette,
             photon_scene=photon_scene,
+            photon_regen=cfg.photon_regen,
         )
         return img.reshape(cfg.height, cfg.width, 3), stats
 
@@ -141,7 +142,10 @@ def render(cfg: RenderConfig, scene: Scene | None = None,
             jax.profiler.stop_trace()
         meter.end_pass({"hitpoints": int(stats["count"]),
                         "dropped": int(stats["dropped"]),
-                        "mean_r2": float(stats["mean_r2"])})
+                        "deposits_dropped": int(stats["deposits_dropped"]),
+                        "mean_r2": float(stats["mean_r2"])},
+                       photons=float(stats["photons_emitted"])
+                       * scene.light_pos.shape[0])
         if checkpoint_path and cfg.checkpoint_every and (
             (i + 1) % cfg.checkpoint_every == 0
         ):

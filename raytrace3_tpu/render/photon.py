@@ -24,6 +24,7 @@ from ..core.types import Deposits
 from ..core.vecmath import normalize, reflect, refract
 from ..geometry.scene import Scene, intersect_scene
 from .eye import MAX_DEPTH
+from .light import emit_photons
 
 
 def photon_trace(
@@ -98,6 +99,110 @@ def photon_trace(
         flux=df.reshape(segs * N, 3),
         valid=dv.reshape(segs * N),
     )
+
+
+def photon_trace_regen(
+    scene: Scene,
+    key: jax.Array,
+    light_pos: jnp.ndarray,
+    light_color: jnp.ndarray,
+    n_photons: int,
+    state,
+    max_depth: int = MAX_DEPTH,
+    debias_roulette: bool = False,
+    newton_fn=None,
+):
+    """Persistent-lane photon walk: dead lanes are refilled from the lights.
+
+    In ``photon_trace`` a lane whose photon escapes the scene idles for the
+    remaining depth segments — on the reference scene only ~62% of lanes are
+    alive on average (measured), so ~38% of the trace FLOPs are wasted.
+    Here every segment first re-emits fresh photons into lanes that died
+    (escaped, or exhausted their ``max_depth + 1``-intersection budget, the
+    reference's recursion bound Raytracer.h:117-125), so all lanes always do
+    useful work.  Photon walks persist across round boundaries via ``state``;
+    only the final in-flight batch of a pass is truncated (a ~1/(rounds *
+    segments) tail, vs the reference which truncates nothing but idles).
+
+    Estimator accounting: returns the number of photons EMITTED this call
+    (per light); the image normalisation (Raytracer.h:292 divides by photons
+    per light) must use the accumulated emitted count instead of the static
+    rounds * photons_per_round.
+
+    Args:
+      state: (org, dir, flux, alive, depth) from the previous round, or None
+        for a cold start (all lanes dead -> first segment emits a full batch).
+    Returns:
+      (Deposits with capacity (max_depth + 1) * N, new_state, emitted)
+      where emitted is the scalar count of photons emitted PER LIGHT.
+    """
+    L = light_pos.shape[0]
+    N = L * n_photons
+    segs = max_depth + 1
+
+    if state is None:
+        z3 = jnp.zeros((N, 3), jnp.float32)
+        state = (z3, jnp.ones((N, 3), jnp.float32), z3,
+                 jnp.zeros((N,), bool), jnp.zeros((N,), jnp.int32))
+
+    diff_p, refl_p, refr_p = scene.materials.powers()
+    is_diff = scene.materials.is_diff()
+
+    def step(carry, k):
+        o, d, f, alive, depth, emitted = carry
+        k_e, k_r, k_d = jax.random.split(k, 3)
+
+        # Refill dead lanes with fresh photons (lane -> light binding is
+        # positional, matching emit_photons' (L, n) layout).
+        need = ~alive
+        eo, ed, ef = emit_photons(k_e, light_pos, light_color, n_photons)
+        nd = need[:, None]
+        o = jnp.where(nd, eo, o)
+        d = jnp.where(nd, ed, d)
+        f = jnp.where(nd, ef, f)
+        depth = jnp.where(need, 0, depth)
+        emitted = emitted + jnp.sum(need)
+
+        rec = intersect_scene(scene, o, d, newton_fn=newton_fn)
+        obj = jnp.clip(rec.obj_id, 0, scene.n_objects - 1)
+        dep_valid = rec.hit & is_diff[obj]
+        dep = (rec.pos, rec.n, f, dep_valid)
+
+        branch = roulette(k_r, diff_p[obj], refl_p[obj], refr_p[obj])
+        d_diff = cosine_hemisphere(k_d, rec.n)
+        d_refl = normalize(reflect(d, rec.n))
+        eta = scene.materials.eta(obj, rec.inside)
+        n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
+        d_refr = normalize(refract(d, n_eff, eta))
+        new_d = jnp.where(
+            (branch == 0)[:, None], d_diff,
+            jnp.where((branch == 1)[:, None], d_refl, d_refr),
+        )
+        new_f = rec.color * f
+        if debias_roulette:
+            allp = diff_p[obj] + refl_p[obj] + refr_p[obj]
+            bp = jnp.where(
+                branch == 0, diff_p[obj],
+                jnp.where(branch == 1, refl_p[obj], refr_p[obj]),
+            ) / jnp.where(allp > 0, allp, 1.0)
+            new_f = new_f / jnp.where(bp > 1e-8, bp, 1.0)[:, None]
+
+        depth = depth + 1
+        new_alive = rec.hit & (depth < segs)
+        return (rec.pos, new_d, new_f, new_alive, depth, emitted), dep
+
+    keys = jax.random.split(key, segs)
+    carry0 = state + (jnp.zeros((), jnp.int32),)
+    (o, d, f, alive, depth, emitted), (dp, dn, df, dv) = jax.lax.scan(
+        step, carry0, keys
+    )
+    deps = Deposits(
+        pos=dp.reshape(segs * N, 3),
+        n=dn.reshape(segs * N, 3),
+        flux=df.reshape(segs * N, 3),
+        valid=dv.reshape(segs * N),
+    )
+    return deps, (o, d, f, alive, depth), emitted / L
 
 
 def compact_deposits(dep: Deposits, capacity: int) -> Deposits:

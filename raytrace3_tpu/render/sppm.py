@@ -32,7 +32,7 @@ from ..geometry.scene import Scene
 from .deposit import deposit_bruteforce
 from .eye import INIT_R2, MAX_DEPTH, eye_pass
 from .light import emit_photons
-from .photon import compact_deposits, photon_trace
+from .photon import compact_deposits, photon_trace, photon_trace_regen
 
 #: Reference radius-shrink factor (Raytracer.h:45).
 ALPHA = 0.7
@@ -68,7 +68,8 @@ def photon_rounds(
     psum_axis: str | None = None,
     deposit_compact_frac: float = 1.0,
     debias_roulette: bool = False,
-) -> HitPoints:
+    regen: bool = False,
+):
     """Run the photon-mapping rounds (reference PhotonMap, Raytracer.h:210-295).
 
     ``photons_per_round`` photons are emitted PER LIGHT each round (the
@@ -80,6 +81,15 @@ def photon_rounds(
     shard and the per-round (d_nphot, d_tao) increments are all-reduced over
     ICI before the radius update, keeping hit-point state replicated
     (SURVEY.md section 2, photon-sharding axis).
+
+    ``regen``: persistent photon lanes — dead lanes are refilled from the
+    lights every segment and photon walks persist across rounds (see
+    ``photon_trace_regen``).
+
+    Returns (hp, emitted_per_light, deposits_dropped): the caller MUST
+    normalise the image by ``emitted_per_light`` (static rounds * photons
+    without regen); nonzero ``deposits_dropped`` means the compaction
+    capacity clipped real flux — raise ``deposit_compact_frac``.
     """
 
     # Deposit backends with a ``prepare`` hook (ops/deposit_pallas.py) build
@@ -89,7 +99,52 @@ def photon_rounds(
         prep = deposit_fn.prepare(hp)
         dep_call = partial(deposit_fn, prep=prep)
 
-    def round_body(hp, k):
+    def compact(dep):
+        """Compact + report overflow (deposits beyond capacity are LOST
+        flux; a nonzero drop count means deposit_compact_frac is too low)."""
+        dropped = jnp.zeros((), jnp.int32)
+        if deposit_compact_frac < 1.0:
+            cap = max(int(dep.valid.shape[0] * deposit_compact_frac), 128)
+            nv = jnp.sum(dep.valid.astype(jnp.int32))
+            dropped = jnp.maximum(nv - cap, 0)
+            dep = compact_deposits(dep, cap)
+        return dep, dropped
+
+    def fold(hp, d_n, d_tao):
+        if psum_axis is not None:
+            d_n, d_tao = jax.lax.psum((d_n, d_tao), psum_axis)
+        return ppm_update(hp, d_n, d_tao, update_mode)
+
+    keys = jax.random.split(key, n_rounds)
+
+    if regen:
+        N = scene.light_pos.shape[0] * photons_per_round
+        z3 = jnp.zeros((N, 3), jnp.float32)
+        pstate = (z3, jnp.ones((N, 3), jnp.float32), z3,
+                  jnp.zeros((N,), bool), jnp.zeros((N,), jnp.int32))
+
+        def round_body(carry, k):
+            hp, pstate, emitted, drops = carry
+            dep, pstate, e = photon_trace_regen(
+                scene, k, scene.light_pos, scene.light_color,
+                photons_per_round, pstate, max_depth,
+                debias_roulette=debias_roulette, newton_fn=newton_fn,
+            )
+            dep, dropped = compact(dep)
+            d_n, d_tao = dep_call(hp, dep)
+            return (fold(hp, d_n, d_tao), pstate, emitted + e,
+                    drops + dropped), None
+
+        (hp, _, emitted, drops), _ = jax.lax.scan(
+            round_body,
+            (hp, pstate, jnp.zeros((), jnp.float32),
+             jnp.zeros((), jnp.int32)),
+            keys,
+        )
+        return hp, emitted, drops
+
+    def round_body(carry, k):
+        hp, drops = carry
         ke, kt = jax.random.split(k)
         org, dir, flux = emit_photons(
             ke, scene.light_pos, scene.light_color, photons_per_round
@@ -97,17 +152,15 @@ def photon_rounds(
         dep = photon_trace(scene, kt, org, dir, flux, max_depth,
                            debias_roulette=debias_roulette,
                            newton_fn=newton_fn)
-        if deposit_compact_frac < 1.0:
-            cap = int(dep.valid.shape[0] * deposit_compact_frac)
-            dep = compact_deposits(dep, max(cap, 128))
+        dep, dropped = compact(dep)
         d_n, d_tao = dep_call(hp, dep)
-        if psum_axis is not None:
-            d_n, d_tao = jax.lax.psum((d_n, d_tao), psum_axis)
-        return ppm_update(hp, d_n, d_tao, update_mode), None
+        return (fold(hp, d_n, d_tao), drops + dropped), None
 
-    keys = jax.random.split(key, n_rounds)
-    hp, _ = jax.lax.scan(round_body, hp, keys)
-    return hp
+    (hp, drops), _ = jax.lax.scan(
+        round_body, (hp, jnp.zeros((), jnp.int32)), keys
+    )
+    return (hp, jnp.asarray(float(n_rounds * photons_per_round), jnp.float32),
+            drops)
 
 
 def estimate_image(hp: HitPoints, n_pixels: int, total_photons: int) -> jnp.ndarray:
@@ -142,6 +195,7 @@ def render_pass(
     deposit_compact_frac: float = 1.0,
     debias_roulette: bool = False,
     photon_scene: Scene | None = None,
+    photon_regen: bool = False,
 ):
     """One full SPPM pass: eye trace -> photon rounds -> pixel estimate.
 
@@ -157,15 +211,18 @@ def render_pass(
     # The photon pass may use different static tuning (e.g. a much smaller
     # Bezier ray-compaction fraction: photons hit the teapot AABB on ~1% of
     # segments vs ~4% of eye rays).
-    hp = photon_rounds(
+    hp, emitted, dep_drops = photon_rounds(
         photon_scene if photon_scene is not None else scene,
         key, hp, n_rounds, photons_per_round, max_depth,
         update_mode, deposit_fn, newton_fn,
         deposit_compact_frac=deposit_compact_frac,
         debias_roulette=debias_roulette,
+        regen=photon_regen,
     )
-    img = estimate_image(hp, cam_org.shape[0], n_rounds * photons_per_round)
+    img = estimate_image(hp, cam_org.shape[0], emitted)
     stats = dict(stats)
+    stats["photons_emitted"] = emitted
+    stats["deposits_dropped"] = dep_drops
     stats["mean_r2"] = jnp.sum(jnp.where(hp.valid, hp.r2, 0.0)) / jnp.maximum(
         jnp.sum(hp.valid.astype(jnp.int32)), 1
     )

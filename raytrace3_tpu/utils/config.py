@@ -39,6 +39,7 @@ class RenderConfig:
     deposit: str = "bruteforce"         # or "grid"
     deposit_compact_frac: float = 1.0   # compact valid deposits before the op
     debias_roulette: bool = False       # divide flux by branch probability
+    photon_regen: bool = False          # refill dead photon lanes every segment
     use_pallas: bool = False            # Pallas kernels for newton/deposit
     checkpoint_every: int = 0           # passes between checkpoints (0 = off)
     out: str = "render.png"

@@ -29,10 +29,15 @@ class PassMeter:
     def start_pass(self):
         self._pass_t0 = time.perf_counter()
 
-    def end_pass(self, extra: dict | None = None) -> dict:
+    def end_pass(self, extra: dict | None = None,
+                 photons: float | None = None) -> dict:
+        """``photons`` overrides the static per-pass estimate (photon
+        regeneration emits a data-dependent count per pass)."""
         dt = time.perf_counter() - self._pass_t0
         self.passes += 1
         self.total_time += dt
+        if photons is not None:
+            self.photons_per_pass = photons  # last pass's actual count
         rec = {
             "pass": self.passes,
             "pass_seconds": dt,

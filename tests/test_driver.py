@@ -78,3 +78,47 @@ def test_psnr_util():
     assert abs(mse(a, b) - 0.01) < 1e-12
     assert abs(psnr(a, b) - 20.0) < 1e-9
     assert psnr(a, a) == float("inf")
+
+
+def test_photon_regen_consistent_estimator():
+    """Regenerated-lane photon walks must estimate the SAME image as the
+    idle-lane walk (both unbiased over emitted photons): compare two
+    renders of the diffuse box at matched emitted-photon counts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytrace3_tpu import emit_rays, get_scene, render_pass
+    from raytrace3_tpu.scenes import reference_camera
+
+    scene = get_scene("cornell_diffuse", atlas_res=32)
+    cam = reference_camera(48, 48)
+    org, dir = emit_rays(cam)
+
+    def render(regen, k):
+        img, stats = jax.jit(
+            lambda kk: render_pass(
+                scene, org, dir, kk, hitpoint_capacity=48 * 48 * 2,
+                n_rounds=6, photons_per_round=4096, photon_regen=regen,
+            )
+        )(k)
+        return np.asarray(img), stats
+
+    img_a, st_a = render(False, jax.random.key(3))
+    img_a2, _ = render(False, jax.random.key(11))
+    img_b, st_b = render(True, jax.random.key(4))
+    assert float(st_a["photons_emitted"]) == 6 * 4096
+    # regen packs MORE photons through the same lanes
+    assert float(st_b["photons_emitted"]) > 1.5 * 6 * 4096
+    assert not np.isnan(img_b).any()
+    # same expectation: mean radiance agrees within Monte-Carlo noise
+    ma, mb = img_a.mean(), img_b.mean()
+    assert abs(ma - mb) / ma < 0.08, (ma, mb)
+    # pixelwise, regen-vs-baseline must look like one more INDEPENDENT
+    # sample of the same image: correlate at least as well as two
+    # independent baseline renders do with each other (the MC noise floor
+    # at this photon count is itself only ~0.74).
+    c = lambda x, y: np.corrcoef(x.reshape(-1), y.reshape(-1))[0, 1]
+    floor = c(img_a, img_a2)
+    ca = c(img_a, img_b)
+    assert ca > floor - 0.05, (ca, floor)
