@@ -92,6 +92,9 @@ def main() -> int:
         newton_restarts=4, newton_iters=10,
         update_mode="sppm", deposit="pallas", deposit_compact_frac=0.9,
         hitpoint_factor=1.3, photon_regen=True,
+        # measured eye survival: 20% after segment 1, 2.5% after 4, ~1.1%
+        # after 6 — stage the wavefront down (overflow shows up in "dropped")
+        eye_compact_schedule=((1, 0.25), (4, 0.04), (6, 0.02)),
     )
     scene = build_scene(cfg)
     newton_fn = None

@@ -80,6 +80,7 @@ def make_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
             debias_roulette=cfg.debias_roulette,
             photon_scene=photon_scene,
             photon_regen=cfg.photon_regen,
+            eye_compact_schedule=cfg.eye_compact_schedule,
         )
         return img.reshape(cfg.height, cfg.width, 3), stats
 

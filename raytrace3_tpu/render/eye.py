@@ -44,6 +44,7 @@ def eye_pass(
     init_r2: float = INIT_R2,
     newton_fn=None,
     pixel_offset=0,
+    compact_schedule: tuple = (),
 ):
     """Trace camera rays, return the hit-point buffer.
 
@@ -55,9 +56,21 @@ def eye_pass(
                 reference scene, Scene.h:100-113).
       pixel_offset: global id of ray 0 — lets the sharded renderer trace a
                 ray shard while keeping hit points addressed by global pixel.
+      compact_schedule: ((segment, frac), ...) — at the start of ``segment``
+                (>= 1), gather the surviving rays into a buffer of width
+                ``frac * R``.  Eye survival collapses fast (measured on the
+                reference scene: 20% after segment 1, ~2.5% after 4), so the
+                remaining 13 segments need not trace dead lanes.  Rays beyond
+                a stage's width are dropped and counted.  Requires slots=1.
     Returns:
       (HitPoints, stats) with stats = {"count": int32, "dropped": int32}.
     """
+    if compact_schedule:
+        assert slots == 1, "compact_schedule requires slots=1"
+        return _eye_pass_compact(
+            scene, org, dir, capacity, max_depth, init_r2, newton_fn,
+            pixel_offset, compact_schedule,
+        )
     R = org.shape[0]
     K = slots
     dtype = org.dtype
@@ -160,4 +173,94 @@ def eye_pass(
     (state, (hp, count, dropped)), _ = jax.lax.scan(
         step, (state, buffers), None, length=max_depth + 1
     )
+    return hp, {"count": count, "dropped": dropped}
+
+
+def _eye_pass_compact(scene, org, dir, capacity, max_depth, init_r2,
+                      newton_fn, pixel_offset, schedule):
+    """Staged-width eye trace (see ``eye_pass``'s compact_schedule).
+
+    Same estimator as the slots=1 path: diffuse lobes store hit points,
+    exactly one specular continuation per lane (secondaries dropped +
+    counted — zero in every reference scene, whose materials have at most
+    one specular lobe each, Scene.h:100-113).
+    """
+    R = org.shape[0]
+    dtype = org.dtype
+    hp = make_hitpoints(capacity, init_r2, dtype)
+
+    is_diff = scene.materials.is_diff()
+    is_refl = scene.materials.is_refl()
+    is_refr = scene.materials.is_refr()
+
+    def step(carry, _):
+        (o, d, wgt, px, act), (hp, count, dropped) = carry
+        rec = intersect_scene(scene, o, d, newton_fn=newton_fn)
+        obj = jnp.clip(rec.obj_id, 0, scene.n_objects - 1)
+        hit = rec.hit & act
+
+        diff_v = hit & is_diff[obj]
+        hp_wgt = rec.color * wgt * scene.materials.diff[obj]
+        slot = count + jnp.cumsum(diff_v.astype(jnp.int32)) - 1
+        widx = jnp.where(diff_v & (slot < capacity), slot, capacity)
+        hp = hp.replace(
+            pos=hp.pos.at[widx].set(rec.pos, mode="drop"),
+            n=hp.n.at[widx].set(rec.n, mode="drop"),
+            wgt=hp.wgt.at[widx].set(hp_wgt, mode="drop"),
+            pixel=hp.pixel.at[widx].set(px, mode="drop"),
+            valid=hp.valid.at[widx].set(True, mode="drop"),
+        )
+        n_new = jnp.sum(diff_v.astype(jnp.int32))
+        new_count = jnp.minimum(count + n_new, capacity)
+        dropped = dropped + (count + n_new - new_count)
+
+        refl_v = hit & is_refl[obj]
+        refr_v = hit & is_refr[obj]
+        d_refl = normalize(reflect(d, rec.n))
+        w_refl = rec.color * wgt * scene.materials.refl[obj]
+        eta = scene.materials.eta(obj, rec.inside)
+        n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
+        d_refr = normalize(refract(d, n_eff, eta))
+        w_refr = rec.color * wgt * scene.materials.refr[obj]
+
+        prim_v = refl_v | refr_v
+        prim_d = jnp.where(refl_v[:, None], d_refl, d_refr)
+        prim_w = jnp.where(refl_v[:, None], w_refl, w_refr)
+        dropped = dropped + jnp.sum((refl_v & refr_v).astype(jnp.int32))
+
+        return ((rec.pos, prim_d, prim_w, px, prim_v),
+                (hp, new_count, dropped)), None
+
+    lanes = (org, dir, jnp.ones((R, 3), dtype),
+             jnp.arange(R, dtype=jnp.int32) + pixel_offset,
+             jnp.ones((R,), bool))
+    bufs = (hp, jnp.int32(0), jnp.int32(0))
+
+    segs_total = max_depth + 1
+    stages = []
+    prev = 0
+    for seg, frac in schedule:
+        assert 0 < seg < segs_total and seg > prev, schedule
+        stages.append((prev, seg, None))
+        prev = seg
+    stages.append((prev, segs_total, None))
+    widths = [R] + [max(128, -(-int(R * f)) // 128 * 128)
+                    for _, f in schedule]
+
+    for (lo, hi, _), w in zip(stages, widths):
+        cur_w = lanes[0].shape[0]
+        if w < cur_w:
+            o, d, wgt, px, act = lanes
+            n_act = jnp.sum(act.astype(jnp.int32))
+            idx = jnp.nonzero(act, size=w, fill_value=cur_w)[0]
+            ok = idx < cur_w
+            safe = jnp.minimum(idx, cur_w - 1)
+            lanes = (o[safe], d[safe], wgt[safe], px[safe], act[safe] & ok)
+            hp_, count, dropped = bufs
+            bufs = (hp_, count, dropped + jnp.maximum(n_act - w, 0))
+        (lanes, bufs), _ = jax.lax.scan(
+            step, (lanes, bufs), None, length=hi - lo
+        )
+
+    hp, count, dropped = bufs
     return hp, {"count": count, "dropped": dropped}

@@ -196,6 +196,7 @@ def render_pass(
     debias_roulette: bool = False,
     photon_scene: Scene | None = None,
     photon_regen: bool = False,
+    eye_compact_schedule: tuple = (),
 ):
     """One full SPPM pass: eye trace -> photon rounds -> pixel estimate.
 
@@ -207,6 +208,7 @@ def render_pass(
     hp, stats = eye_pass(
         scene, cam_org, cam_dir, hitpoint_capacity, max_depth, slots,
         init_r2, newton_fn=newton_fn,
+        compact_schedule=eye_compact_schedule,
     )
     # The photon pass may use different static tuning (e.g. a much smaller
     # Bezier ray-compaction fraction: photons hit the teapot AABB on ~1% of

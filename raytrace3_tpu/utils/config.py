@@ -40,6 +40,9 @@ class RenderConfig:
     deposit_compact_frac: float = 1.0   # compact valid deposits before the op
     debias_roulette: bool = False       # divide flux by branch probability
     photon_regen: bool = False          # refill dead photon lanes every segment
+    #: ((segment, frac), ...) — compact surviving eye rays to frac * rays at
+    #: each listed segment (slots=1 only); overflow is counted in "dropped".
+    eye_compact_schedule: tuple = ()
     use_pallas: bool = False            # Pallas kernels for newton/deposit
     checkpoint_every: int = 0           # passes between checkpoints (0 = off)
     out: str = "render.png"

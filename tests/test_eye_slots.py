@@ -99,3 +99,53 @@ def test_multi_light_emission(key):
     )
     np.testing.assert_allclose(np.linalg.norm(np.asarray(dir), axis=1), 1.0,
                                rtol=1e-5)
+
+
+def test_eye_compact_schedule_equivalent():
+    """Staged-width compaction stores the same hit points (same pixels,
+    same per-pixel weight sums up to reassociation roundoff)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytrace3_tpu import emit_rays, get_scene
+    from raytrace3_tpu.render.eye import eye_pass
+    from raytrace3_tpu.scenes import reference_camera
+
+    scene = get_scene("cornell_specular", atlas_res=32)
+    cam = reference_camera(64, 64)
+    org, dir = emit_rays(cam)
+    cap = 64 * 64 * 3
+    a, sa = jax.jit(lambda: eye_pass(scene, org, dir, cap, 13))()
+    b, sb = jax.jit(lambda: eye_pass(
+        scene, org, dir, cap, 13, compact_schedule=((1, 0.5), (4, 0.1))))()
+    assert int(sa["count"]) == int(sb["count"])
+    assert int(sb["dropped"]) == 0
+
+    def per_pixel(hp):
+        w = jnp.where(hp.valid[:, None], hp.wgt, 0.0)
+        idx = jnp.where(hp.valid, hp.pixel, 64 * 64)
+        return np.asarray(jnp.zeros((64 * 64, 3)).at[idx].add(w, mode="drop"))
+
+    pa, pb = per_pixel(a), per_pixel(b)
+    # the two paths compile to different fusions: last-ulp position shifts
+    # can land on a texture-wrap seam, so allow a tiny mismatch fraction
+    close = np.isclose(pa, pb, rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.999, (1 - close.mean())
+
+
+def test_eye_compact_overflow_counted():
+    """A too-tight stage width drops rays and counts them."""
+    import jax
+
+    from raytrace3_tpu import emit_rays, get_scene
+    from raytrace3_tpu.render.eye import eye_pass
+    from raytrace3_tpu.scenes import reference_camera
+
+    scene = get_scene("cornell_specular", atlas_res=32)
+    cam = reference_camera(64, 64)
+    org, dir = emit_rays(cam)
+    _, st = jax.jit(lambda: eye_pass(
+        scene, org, dir, 64 * 64 * 3, 13,
+        compact_schedule=((1, 0.02),)))()
+    assert int(st["dropped"]) > 0
