@@ -13,7 +13,9 @@ reference's OpenMP setup (BASELINE.md: the reference publishes no numbers,
 so the baseline must be measured here).
 
 Env knobs: RT3_BENCH_ROUNDS, RT3_BENCH_PHOTONS, RT3_BENCH_RES,
-RT3_BENCH_PLATFORM (force e.g. cpu), RT3_BENCH_PALLAS=0/1.
+RT3_BENCH_PLATFORM (force e.g. cpu), RT3_BENCH_PALLAS=0/1,
+RT3_BENCH_RESTARTS (Pallas Newton restarts/lane grid, default 16),
+RT3_BENCH_TIMED (timed passes, default 2).
 """
 
 from __future__ import annotations
@@ -28,8 +30,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def measure_cpp_baseline() -> dict:
-    """Build + run the C++ baseline; returns its JSON record."""
+def measure_cpp_baseline(reps: int = 3) -> dict:
+    """Build + run the C++ baseline; returns its JSON record.
+
+    The baseline host is small (2 cores here) and shares the machine with
+    other processes, so a single run is noisy (observed ~±30%); take the
+    median photons/s of ``reps`` runs.
+    """
     src = os.path.join(REPO, "native", "baseline_sppm.cpp")
     exe = os.path.join(REPO, "native", "baseline_sppm")
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
@@ -39,12 +46,19 @@ def measure_cpp_baseline() -> dict:
             check=True,
         )
     threads = os.cpu_count() or 1
-    out = subprocess.run(
-        [exe, os.path.join(REPO, "assets", "teapot.bpt"), "512", "2000",
-         str(threads)],
-        check=True, capture_output=True, text=True, timeout=1800,
-    ).stdout.strip()
-    return json.loads(out.splitlines()[-1])
+    runs = []
+    for _ in range(max(reps, 1)):
+        out = subprocess.run(
+            [exe, os.path.join(REPO, "assets", "teapot.bpt"), "512", "2000",
+             str(threads)],
+            check=True, capture_output=True, text=True, timeout=1800,
+        ).stdout.strip()
+        runs.append(json.loads(out.splitlines()[-1]))
+    runs.sort(key=lambda r: float(r["photons_per_s"]))
+    med = runs[len(runs) // 2]
+    med["photons_per_s_runs"] = [round(float(r["photons_per_s"]), 1)
+                                 for r in runs]
+    return med
 
 
 def main() -> int:
@@ -53,6 +67,8 @@ def main() -> int:
     res = int(os.environ.get("RT3_BENCH_RES", "512"))
     platform = os.environ.get("RT3_BENCH_PLATFORM")
     use_pallas = os.environ.get("RT3_BENCH_PALLAS", "1") != "0"
+    restarts = int(os.environ.get("RT3_BENCH_RESTARTS", "16"))
+    n_timed = int(os.environ.get("RT3_BENCH_TIMED", "2"))
 
     try:
         cpp = measure_cpp_baseline()
@@ -106,7 +122,8 @@ def main() -> int:
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
 
-        newton_fn = make_newton_pallas(iters=cfg.newton_iters)
+        newton_fn = make_newton_pallas(iters=cfg.newton_iters,
+                                       restarts=restarts)
 
     base = np.array([50.0, 35.0, 230.0])
     look = base + np.array([0.0, 0.042612, -1.0])
@@ -125,7 +142,6 @@ def main() -> int:
 
     # timed passes (each is rounds x photons -> per-call dispatch overhead
     # through the remote-TPU tunnel is amortised inside one call)
-    n_timed = 2
     t0 = time.perf_counter()
     emitted = 0.0
     for i in range(n_timed):
@@ -136,6 +152,15 @@ def main() -> int:
     emitted /= n_timed
 
     pps = emitted / dt
+    # Traced ray segments per pass (BASELINE.json's second headline metric):
+    # eye = staged wavefront widths x segment counts; photon = regen keeps
+    # every lane live for all rounds x (max_depth + 1) segments.
+    from raytrace3_tpu.render.eye import eye_stage_widths
+
+    eye_rays = sum(s * w for s, w in eye_stage_widths(
+        res * res, cfg.eye_compact_schedule, cfg.max_depth))
+    photon_rays = rounds * (cfg.max_depth + 1) * photons
+    mrays = (eye_rays + photon_rays) / dt / 1e6
     record = {
         "metric": "photons_per_s_teapot512",
         "value": round(pps, 1),
@@ -143,6 +168,8 @@ def main() -> int:
         "vs_baseline": round(pps / baseline_pps, 3) if baseline_pps == baseline_pps else None,
         "backend": backend,
         "pallas_newton": newton_fn is not None,
+        "newton_restarts": restarts if newton_fn is not None else None,
+        "mrays_per_s": round(mrays, 2),
         "pass_seconds": round(dt, 4),
         "compile_seconds": round(compile_s, 1),
         "photons_per_pass": int(emitted),

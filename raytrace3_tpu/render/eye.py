@@ -34,6 +34,22 @@ MAX_DEPTH = 13
 INIT_R2 = 2.0
 
 
+def eye_stage_widths(n_rays: int, schedule: tuple,
+                     max_depth: int = MAX_DEPTH) -> list[tuple[int, int]]:
+    """Static (segments, lane_width) per stage of a compact_schedule.
+
+    Mirrors ``_eye_pass_compact``'s width computation exactly; used for
+    ray-throughput accounting (a stage traces segments * width lanes).
+    With an empty schedule: one stage of (max_depth + 1, n_rays).
+    """
+    segs_total = max_depth + 1
+    bounds = [0] + [seg for seg, _ in schedule] + [segs_total]
+    widths = [n_rays] + [max(128, -(-int(n_rays * f)) // 128 * 128)
+                         for _, f in schedule]
+    return [(hi - lo, w)
+            for lo, hi, w in zip(bounds[:-1], bounds[1:], widths)]
+
+
 def eye_pass(
     scene: Scene,
     org: jnp.ndarray,
@@ -237,17 +253,12 @@ def _eye_pass_compact(scene, org, dir, capacity, max_depth, init_r2,
     bufs = (hp, jnp.int32(0), jnp.int32(0))
 
     segs_total = max_depth + 1
-    stages = []
     prev = 0
-    for seg, frac in schedule:
+    for seg, _ in schedule:
         assert 0 < seg < segs_total and seg > prev, schedule
-        stages.append((prev, seg, None))
         prev = seg
-    stages.append((prev, segs_total, None))
-    widths = [R] + [max(128, -(-int(R * f)) // 128 * 128)
-                    for _, f in schedule]
 
-    for (lo, hi, _), w in zip(stages, widths):
+    for n_segs, w in eye_stage_widths(R, schedule, max_depth):
         cur_w = lanes[0].shape[0]
         if w < cur_w:
             o, d, wgt, px, act = lanes
@@ -259,7 +270,7 @@ def _eye_pass_compact(scene, org, dir, capacity, max_depth, init_r2,
             hp_, count, dropped = bufs
             bufs = (hp_, count, dropped + jnp.maximum(n_act - w, 0))
         (lanes, bufs), _ = jax.lax.scan(
-            step, (lanes, bufs), None, length=hi - lo
+            step, (lanes, bufs), None, length=n_segs
         )
 
     hp, count, dropped = bufs
