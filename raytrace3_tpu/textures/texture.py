@@ -53,14 +53,31 @@ def sample_bilinear_wrap(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jn
     )
 
 
+def pack_atlas_2x2(atlas: jnp.ndarray) -> jnp.ndarray:
+    """(T, H, W, 3) -> (T, H, W, 12): each texel + its 3 bilinear neighbours.
+
+    Texel (r, c) of the packed atlas holds [T(r,c), T(r,c+1), T(r+1,c),
+    T(r+1,c+1)] with the reference wrap rule (r/c + 1 wrapping to 0,
+    Element.h:66-69) — exactly ``jnp.roll`` by -1.  Lets bilinear sampling
+    fetch all four taps with ONE gather instead of four (TPU gathers cost
+    per index, not per byte).  Differentiable w.r.t. the atlas; tiny
+    (atlas-sized) so it amortises to nothing when hoisted out of the photon
+    scan by XLA (the atlas is loop-invariant).
+    """
+    a12 = jnp.roll(atlas, -1, axis=2)
+    a21 = jnp.roll(atlas, -1, axis=1)
+    a22 = jnp.roll(a21, -1, axis=2)
+    return jnp.concatenate([atlas, a12, a21, a22], axis=-1)
+
+
 def sample_atlas(atlas: jnp.ndarray, tex_id: jnp.ndarray, u: jnp.ndarray,
                  v: jnp.ndarray) -> jnp.ndarray:
     """Sample atlas (T, H, W, 3) at per-lane texture ids.
 
-    Same math as :func:`sample_bilinear_wrap` but gathers exactly the four
-    needed texels per lane from the flattened atlas (one batched gather, no
-    per-ray texture materialisation).  Negative ids are clipped to 0; callers
-    select the flat colour for those lanes.
+    Same math as :func:`sample_bilinear_wrap` (the reference's exact
+    bilinear + wrap rule) but via :func:`pack_atlas_2x2`, so each lane costs
+    ONE 12-float gather from the flattened packed atlas.  Negative ids are
+    clipped to 0; callers select the flat colour for those lanes.
     """
     t_, rows, cols, _ = atlas.shape
     tid = jnp.clip(tex_id, 0, t_ - 1)
@@ -68,21 +85,17 @@ def sample_atlas(atlas: jnp.ndarray, tex_id: jnp.ndarray, u: jnp.ndarray,
     col = (v - jnp.floor(v)) * cols
     r1 = jnp.floor(row + 1e-10).astype(jnp.int32)
     c1 = jnp.floor(col + 1e-10).astype(jnp.int32)
-    r2, c2 = r1 + 1, c1 + 1
-    det_r = (r2 - row)[..., None]
-    det_c = (c2 - col)[..., None]
+    det_r = (r1 + 1 - row)[..., None]
+    det_c = (c1 + 1 - col)[..., None]
     r1 = jnp.where(r1 >= 0, jnp.where(r1 >= rows, 0, r1), rows - 1)
     c1 = jnp.where(c1 >= 0, jnp.where(c1 >= cols, 0, c1), cols - 1)
-    r2 = jnp.where(r2 < rows, r2, 0)
-    c2 = jnp.where(c2 < cols, c2, 0)
-    flat = atlas.reshape(t_ * rows * cols, 3)
-    base = tid * (rows * cols)
-    g = lambda r, c: flat[base + r * cols + c]
+    packed = pack_atlas_2x2(atlas).reshape(t_ * rows * cols, 12)
+    quad = packed[tid * (rows * cols) + r1 * cols + c1]    # (..., 12)
     return (
-        g(r1, c1) * det_r * det_c
-        + g(r1, c2) * det_r * (1.0 - det_c)
-        + g(r2, c1) * (1.0 - det_r) * det_c
-        + g(r2, c2) * (1.0 - det_r) * (1.0 - det_c)
+        quad[..., 0:3] * det_r * det_c
+        + quad[..., 3:6] * det_r * (1.0 - det_c)
+        + quad[..., 6:9] * (1.0 - det_r) * det_c
+        + quad[..., 9:12] * (1.0 - det_r) * (1.0 - det_c)
     )
 
 

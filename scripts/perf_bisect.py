@@ -119,12 +119,14 @@ def main() -> int:
         fn = pass_fn(v)
         t0 = time.perf_counter()
         img, _ = fn(key)
-        jax.block_until_ready(img)
+        # device_get forces real completion (remote-tunnel block_until_ready
+        # can ack early); bench.py's stats fetch does the same.
+        np.asarray(jax.device_get(img[0, 0]))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for i in range(2):
             img, _ = fn(jax.random.fold_in(key, i + 1))
-        jax.block_until_ready(img)
+        np.asarray(jax.device_get(img[0, 0]))
         dt = (time.perf_counter() - t0) / 2
         print(json.dumps({"variant": v, "pass_seconds": round(dt, 4),
                           "compile_seconds": round(compile_s, 1),
