@@ -69,6 +69,7 @@ def main() -> int:
     use_pallas = os.environ.get("RT3_BENCH_PALLAS", "1") != "0"
     restarts = int(os.environ.get("RT3_BENCH_RESTARTS", "16"))
     n_timed = int(os.environ.get("RT3_BENCH_TIMED", "2"))
+    depfrac = float(os.environ.get("RT3_BENCH_DEPFRAC", "0.9"))
 
     try:
         cpp = measure_cpp_baseline()
@@ -106,7 +107,7 @@ def main() -> int:
         photons_per_round=photons, max_depth=13, atlas_res=128,
         bezier_compact_frac=0.09, bezier_compact_frac_photon=0.05,
         newton_restarts=4, newton_iters=10,
-        update_mode="sppm", deposit="pallas", deposit_compact_frac=0.9,
+        update_mode="sppm", deposit="pallas", deposit_compact_frac=depfrac,
         hitpoint_factor=1.3, photon_regen=True,
         # measured eye survival: 20% after segment 1, 2.5% after 4, ~1.1%
         # after 6 — stage the wavefront down (overflow shows up in "dropped")
@@ -117,8 +118,11 @@ def main() -> int:
     # Measured on the v5e (git history): Pallas deposit (exact banded work
     # list) + Pallas Newton is the fastest combination at 512^2.
     from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
-    deposit_fn = PallasDeposit(tile=512, wchunk=1024, work_cap=16384,
-                               interpret=backend != "tpu")
+    wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
+    work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
+    deposit_fn = PallasDeposit(tile=512, wchunk=wchunk, work_cap=work_cap,
+                               interpret=backend != "tpu",
+                               report_overflow=True)
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
 

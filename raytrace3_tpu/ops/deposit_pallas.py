@@ -107,13 +107,21 @@ class PallasDeposit:
 
     ``work_cap`` bounds the per-call work list (tiles + deposit blocks);
     overflowing chunks are dropped (lost flux) — size it ~2x the expected
-    candidate volume / wchunk.  ``interpret=True`` for CPU tests.
+    candidate volume / wchunk.  With ``report_overflow=True`` the call
+    returns a third value: an int32 upper bound on candidate deposit lanes
+    skipped by the cap (0 = exact; ``photon_rounds`` folds it into the
+    ``deposits_dropped`` stat).  ``interpret=True`` for CPU tests.
     """
+
+    #: calls return (d_nphot, d_tao, overflow) when True (see class doc).
+    returns_aux = False
 
     def __init__(self, tile: int = 512, wchunk: int = 1024,
                  work_cap: int = 8192, axes=(0, 1),
                  search_r: float = SEARCH_R, x_lo: float = DEFAULT_X_LO,
-                 x_hi: float = DEFAULT_X_HI, interpret: bool = False):
+                 x_hi: float = DEFAULT_X_HI, interpret: bool = False,
+                 report_overflow: bool = False):
+        self.returns_aux = report_overflow
         self.tile = tile
         self.wchunk = wchunk
         self.work_cap = work_cap
@@ -300,7 +308,12 @@ class PallasDeposit:
         flux_sorted = out[prep.dest, 1:4]
         cnt = jnp.zeros(C, jnp.float32).at[prep.h_ord].set(cnt_sorted)
         flux = jnp.zeros((C, 3), jnp.float32).at[prep.h_ord].set(flux_sorted)
-        return cnt, hp.wgt * flux / jnp.pi                  # Raytracer.h:156
+        d_tao = hp.wgt * flux / jnp.pi                      # Raytracer.h:156
+        if not self.returns_aux:
+            return cnt, d_tao
+        # Upper bound on candidate lanes in work items beyond the cap.
+        overflow = jnp.maximum(total - W, 0).astype(jnp.int32) * wc
+        return cnt, d_tao, overflow
 
 
 def make_pallas_deposit(**kw) -> PallasDeposit:

@@ -94,10 +94,20 @@ def photon_rounds(
 
     # Deposit backends with a ``prepare`` hook (ops/deposit_pallas.py) build
     # their round-invariant hit-point layout ONCE per pass, outside the scan.
-    dep_call = deposit_fn
+    raw_call = deposit_fn
     if hasattr(deposit_fn, "prepare"):
         prep = deposit_fn.prepare(hp)
-        dep_call = partial(deposit_fn, prep=prep)
+        raw_call = partial(deposit_fn, prep=prep)
+    # Backends with ``returns_aux`` also report an overflow count (candidate
+    # deposits their bounded work list skipped) — folded into the drop stat.
+    if getattr(deposit_fn, "returns_aux", False):
+        def dep_call(hp_, dep_):
+            d_n, d_tao, ovf = raw_call(hp_, dep_)
+            return d_n, d_tao, ovf
+    else:
+        def dep_call(hp_, dep_):
+            d_n, d_tao = raw_call(hp_, dep_)
+            return d_n, d_tao, jnp.zeros((), jnp.int32)
 
     def compact(dep):
         """Compact + report overflow (deposits beyond capacity are LOST
@@ -131,9 +141,9 @@ def photon_rounds(
                 debias_roulette=debias_roulette, newton_fn=newton_fn,
             )
             dep, dropped = compact(dep)
-            d_n, d_tao = dep_call(hp, dep)
+            d_n, d_tao, ovf = dep_call(hp, dep)
             return (fold(hp, d_n, d_tao), pstate, emitted + e,
-                    drops + dropped), None
+                    drops + dropped + ovf), None
 
         (hp, _, emitted, drops), _ = jax.lax.scan(
             round_body,
@@ -153,8 +163,8 @@ def photon_rounds(
                            debias_roulette=debias_roulette,
                            newton_fn=newton_fn)
         dep, dropped = compact(dep)
-        d_n, d_tao = dep_call(hp, dep)
-        return (fold(hp, d_n, d_tao), drops + dropped), None
+        d_n, d_tao, ovf = dep_call(hp, dep)
+        return (fold(hp, d_n, d_tao), drops + dropped + ovf), None
 
     (hp, drops), _ = jax.lax.scan(
         round_body, (hp, jnp.zeros((), jnp.int32)), keys
