@@ -56,9 +56,15 @@ class Materials:
         never used, but an unguarded 1/0 = inf poisons reverse-mode AD on
         the masked branch.
         """
-        rn = self.refrn[obj_idx]
-        safe = jnp.where(jnp.abs(rn) < 1e-6, 1.0, rn)
-        return jnp.where(inside, safe, 1.0 / safe)
+        return eta_from_refrn(self.refrn[obj_idx], inside)
+
+
+def eta_from_refrn(rn: jnp.ndarray, inside: jnp.ndarray) -> jnp.ndarray:
+    """Relative refraction index from per-lane refrn values (see
+    ``Materials.eta``); split out so callers that already fetched refrn
+    through a combined material-table lookup can reuse the guarded math."""
+    safe = jnp.where(jnp.abs(rn) < 1e-6, 1.0, rn)
+    return jnp.where(inside, safe, 1.0 / safe)
 
 
 @flax.struct.dataclass

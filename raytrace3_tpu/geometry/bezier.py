@@ -315,35 +315,45 @@ def intersect_bezier(
         solve_winner, iters=iters, restarts=restarts, patch_prune=patch_prune
     )
 
+    def winner_normal(d, u, v, pid):
+        # Normal at the winning root only (Bezier.h:267-272), flipped
+        # toward the viewer.
+        cw = ctrl[pid]                                  # (r, 4, 4, 3)
+        _, su, sv = patch_derivs(cw, u, v)
+        n = jnp.cross(su, sv)
+        n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0.0, -n, n)
+        return normalize(n)
+
     cap = R if compact_frac >= 1.0 else max(8, int(R * compact_frac))
     if cap < R:
         idx = jnp.nonzero(obj_gate, size=cap, fill_value=R)[0]    # (cap,)
         safe = jnp.minimum(idx, R - 1)
+        dir_c = dir[safe]
         t_c, u_c, v_c, pid_c, hit_c = winner_root(
-            org[safe], dir[safe], ctrl, solver
+            org[safe], dir_c, ctrl, solver
         )
+        # Everything downstream of the solve (incl. the (cap, 4, 4, 3)
+        # control-point gather + patch derivatives for the normal) stays in
+        # the compacted space — running it on all R lanes dominated the
+        # whole photon-walk segment at 512^2 (profiled).
+        n_c = winner_normal(dir_c, u_c, v_c, pid_c)
         scat = lambda x, fill: jnp.full((R,), fill, x.dtype).at[idx].set(
             x, mode="drop"
         )
         t_best = scat(t_c, MAX_DIST)
         u_best = scat(u_c, 0.0)
         v_best = scat(v_c, 0.0)
-        pid = scat(pid_c, 0)
         hit = scat(hit_c, False)
+        n = jnp.zeros((R, 3), dir.dtype).at[:, 2].set(1.0).at[idx].set(
+            n_c, mode="drop"
+        )
     else:
         t_best, u_best, v_best, pid, hit = winner_root(org, dir, ctrl, solver)
+        n = winner_normal(dir, u_best, v_best, pid)
 
     hit = hit & obj_gate
     t_best = jnp.where(hit, t_best, MAX_DIST)
-    any_hit = hit
-
-    # Normal at the winning root only (Bezier.h:267-272).
-    cw = ctrl[pid]                                      # (R, 4, 4, 3)
-    _, su, sv = patch_derivs(cw, u_best, v_best)
-    n = jnp.cross(su, sv)
-    n = jnp.where(jnp.sum(n * dir, -1, keepdims=True) > 0.0, -n, n)
-    n = normalize(n)
-    return t_best, any_hit, u_best, v_best, n
+    return t_best, hit, u_best, v_best, n
 
 
 def load_bpt(path: str, scale: float = 1.0, transform: np.ndarray | None = None,

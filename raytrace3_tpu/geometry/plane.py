@@ -11,6 +11,7 @@ import flax.struct
 import jax.numpy as jnp
 
 from ..core.vecmath import M_EPS, MAX_DIST, dot, normalize
+from ..ops.onehot import pick_columns, take_rows
 
 
 @flax.struct.dataclass
@@ -80,11 +81,13 @@ def plane_uv(pos: jnp.ndarray, planes: Planes, plane_idx: jnp.ndarray):
     Returns:
       (u, v): each (R,)
     """
-    p0 = planes.p0[plane_idx]
-    n = planes.normal[plane_idx]
+    # Small-table lookups + per-row axis picks via one-hot contractions
+    # (ops/onehot.py) — XLA gathers cost per index and these run for every
+    # walk segment.
+    p0 = take_rows(planes.p0, plane_idx)
+    n = take_rows(planes.normal, plane_idx)
     udex, vdex = plane_axis_indices(n)
-    rows = jnp.arange(pos.shape[0])
     d = pos - p0
-    v = 0.5 + d[rows, vdex] / planes.tex_u_mod[plane_idx]
-    u = 0.5 + d[rows, udex] / planes.tex_v_mod[plane_idx]
+    v = 0.5 + pick_columns(d, vdex) / take_rows(planes.tex_u_mod, plane_idx)
+    u = 0.5 + pick_columns(d, udex) / take_rows(planes.tex_v_mod, plane_idx)
     return u, v

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..core.types import HitRecord, Materials
 from ..core.vecmath import MAX_DIST, normalize
+from ..ops.onehot import pick_columns, take_rows
 from ..textures.texture import sample_atlas
 from .bezier import BezierObject, intersect_bezier
 from .plane import Planes, intersect_planes, plane_uv
@@ -91,8 +92,7 @@ def intersect_scene(scene: Scene, org: jnp.ndarray, dir: jnp.ndarray,
     t_all = jnp.concatenate(parts, axis=1)                     # (R, N)
 
     obj = jnp.argmin(t_all, axis=1).astype(jnp.int32)          # (R,)
-    rows = jnp.arange(R)
-    t = t_all[rows, obj]
+    t = jnp.min(t_all, axis=1)          # == t_all[row, argmin] lane-free
     hit = t < MAX_DIST
     obj_id = jnp.where(hit, obj, -1)
     # Clamp the sentinel distance before forming positions: miss lanes are
@@ -107,13 +107,15 @@ def intersect_scene(scene: Scene, org: jnp.ndarray, dir: jnp.ndarray,
 
     # Normal: planes keep the stored (unflipped) normal (Obj.h:80), spheres
     # the outward normal (Obj.h:133), bezier the viewer-facing patch normal.
-    n = scene.planes.normal[pi]
+    # Small-table lookups use one-hot contractions (ops/onehot.py): XLA's
+    # gather costs per index and dominated the walk segment when profiled.
+    n = take_rows(scene.planes.normal, pi)
     n = jnp.where(is_sphere[:, None],
-                  normalize(pos - scene.spheres.center[si]), n)
+                  normalize(pos - take_rows(scene.spheres.center, si)), n)
     if scene.has_bezier:
         n = jnp.where((~is_plane & ~is_sphere)[:, None], nb, n)
 
-    inside = is_sphere & ins_s[rows, si]                       # (Obj.h:136)
+    inside = is_sphere & pick_columns(ins_s, si)               # (Obj.h:136)
 
     # Colour: texture UV per primitive family, else flat object colour.
     up, vp = plane_uv(pos, scene.planes, pi)
@@ -125,9 +127,10 @@ def intersect_scene(scene: Scene, org: jnp.ndarray, dir: jnp.ndarray,
         u = jnp.where(bmask, ub, u)
         v = jnp.where(bmask, t if scene.bezier_uv_quirk else vb, v)
 
-    tex_id = scene.obj_tex[jnp.clip(obj, 0, scene.n_objects - 1)]
+    obj_c = jnp.clip(obj, 0, scene.n_objects - 1)
+    tex_id = take_rows(scene.obj_tex, obj_c)
     tex_col = sample_atlas(scene.atlas, tex_id, u, v)
-    flat_col = scene.obj_color[jnp.clip(obj, 0, scene.n_objects - 1)]
+    flat_col = take_rows(scene.obj_color, obj_c)
     color = jnp.where((tex_id >= 0)[:, None], tex_col, flat_col)
 
     return HitRecord(t=t, hit=hit, pos=pos, n=n, inside=inside,

@@ -11,6 +11,7 @@ import flax.struct
 import jax.numpy as jnp
 
 from ..core.vecmath import M_EPS, MAX_DIST, dot, normalize
+from ..ops.onehot import take_rows
 
 
 @flax.struct.dataclass
@@ -70,7 +71,7 @@ def sphere_uv(pos: jnp.ndarray, spheres: Spheres, sphere_idx: jnp.ndarray):
     theta = acos(N . texV); phi = acos(clip(N . texU / sin(theta)));
     u = theta/pi, v = phi/(2 pi), mirrored when N . (texU x texV) < 0.
     """
-    n = normalize(pos - spheres.center[sphere_idx])
+    n = normalize(pos - take_rows(spheres.center, sphere_idx))
     # Clip strictly inside [-1, 1]: arccos' diverges at the endpoints and a
     # hard clip there yields 0 * inf = NaN in reverse-mode AD (this function
     # runs for every ray, masked after the fact).

@@ -57,8 +57,7 @@ class HpLayout:
     """Round-invariant hit-point side of the banded deposit (one per pass)."""
 
     packed: jnp.ndarray    # (c_pad, 8): pos xyz, n xyz, r2 slot, unused
-    dest: jnp.ndarray      # (C,) layout slot of sorted-rank i
-    h_ord: jnp.ndarray     # (C,) sort permutation
+    g: jnp.ndarray         # (C,) layout slot of hit point i (dest o h_ord^-1)
     lo_keys: jnp.ndarray   # (n_tiles, 3) window lower keys
     hi_keys: jnp.ndarray   # (n_tiles, 3) window upper keys
 
@@ -197,8 +196,10 @@ class PallasDeposit:
         big = (self.n_buckets + 3) * KEY_STRIDE
         lo_keys = jnp.where(dead, big, lo_keys)
         hi_keys = jnp.where(dead, big, hi_keys)
-        return HpLayout(packed=packed, dest=dest, h_ord=h_ord,
-                        lo_keys=lo_keys, hi_keys=hi_keys)
+        # hp-id -> layout slot, so per-round r2 refresh and result unpacking
+        # are ONE scatter / ONE gather instead of permutation chains.
+        g = jnp.zeros((C,), dest.dtype).at[h_ord].set(dest)
+        return HpLayout(packed=packed, g=g, lo_keys=lo_keys, hi_keys=hi_keys)
 
     # -- per round ---------------------------------------------------------
     def __call__(self, hp: HitPoints, dep: Deposits,
@@ -215,8 +216,9 @@ class PallasDeposit:
         )
 
         # refresh the per-round r2 slot (radius shrink between rounds)
-        r2_sorted = jnp.where(hp.valid, hp.r2, -1.0)[prep.h_ord]
-        packed = prep.packed.at[prep.dest, 6].set(r2_sorted)
+        packed = prep.packed.at[prep.g, 6].set(
+            jnp.where(hp.valid, hp.r2, -1.0)
+        )
 
         # ---- deposit side: sort + pack (16, Dp) ----
         D = dep.pos.shape[0]
@@ -230,13 +232,16 @@ class PallasDeposit:
         )
         d_ord = jnp.argsort(dkey)
         dkeys = dkey[d_ord]
-        okc = dep.valid[d_ord, None]
-        rows = jnp.concatenate(
-            [jnp.where(okc, dep.pos[d_ord], FAR),
-             dep.n[d_ord],
-             jnp.where(okc, dep.flux[d_ord], 0.0),
+        # Pack BEFORE permuting: one (D, 16)-row gather instead of three
+        # (D, 3) gathers + a pred gather (TPU gathers cost per index).
+        okc = dep.valid[:, None]
+        rows_all = jnp.concatenate(
+            [jnp.where(okc, dep.pos, FAR),
+             dep.n,
+             jnp.where(okc, dep.flux, 0.0),
              jnp.zeros((D, 7), jnp.float32)], axis=1,
         )                                                   # (D, 16)
+        rows = rows_all[d_ord]
         dep_packed = jnp.zeros((16, Dp), jnp.float32).at[0:3, :].set(FAR)
         dep_packed = jax.lax.dynamic_update_slice(dep_packed, rows.T, (0, 0))
 
@@ -304,11 +309,9 @@ class PallasDeposit:
             interpret=self.interpret,
         )(wt, blk, wcmp, packed, dep_packed)
 
-        cnt_sorted = out[prep.dest, 0]                      # (C,) sorted rank
-        flux_sorted = out[prep.dest, 1:4]
-        cnt = jnp.zeros(C, jnp.float32).at[prep.h_ord].set(cnt_sorted)
-        flux = jnp.zeros((C, 3), jnp.float32).at[prep.h_ord].set(flux_sorted)
-        d_tao = hp.wgt * flux / jnp.pi                      # Raytracer.h:156
+        res = out[prep.g]                                   # (C, 8) one gather
+        cnt = res[:, 0]
+        d_tao = hp.wgt * res[:, 1:4] / jnp.pi               # Raytracer.h:156
         if not self.returns_aux:
             return cnt, d_tao
         # Upper bound on candidate lanes in work items beyond the cap.

@@ -24,14 +24,35 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..core.types import HitPoints, make_hitpoints
+from ..core.types import HitPoints, eta_from_refrn, make_hitpoints
 from ..core.vecmath import normalize, reflect, refract
 from ..geometry.scene import Scene, intersect_scene
+from ..ops.onehot import take_rows
 
 #: Reference max trace depth (Raytracer.h:12 ``MAX_DEP 13``).
 MAX_DEPTH = 13
 #: Reference initial gather radius^2 (Raytracer.h:13 ``INIT_R2 2.0``).
 INIT_R2 = 2.0
+
+
+def _eye_material_lanes(scene: Scene):
+    """Combined (N, 13) eye-pass material table [is_diff, is_refl, is_refr,
+    diff rgb, refl rgb, refr rgb, refrn], fetched per lane with ONE one-hot
+    contraction (see ops/onehot.py — per-index gathers dominate otherwise)."""
+    m = scene.materials
+    tbl = jnp.concatenate([
+        m.is_diff().astype(jnp.float32)[:, None],
+        m.is_refl().astype(jnp.float32)[:, None],
+        m.is_refr().astype(jnp.float32)[:, None],
+        m.diff, m.refl, m.refr, m.refrn[:, None],
+    ], axis=1)
+
+    def fetch(obj):
+        t = take_rows(tbl, obj)                           # (R, 13)
+        return (t[:, 0] > 0.5, t[:, 1] > 0.5, t[:, 2] > 0.5,
+                t[:, 3:6], t[:, 6:9], t[:, 9:12], t[:, 12])
+
+    return fetch
 
 
 def eye_stage_widths(n_rays: int, schedule: tuple,
@@ -94,9 +115,7 @@ def eye_pass(
     hp = make_hitpoints(capacity, init_r2, dtype)
     pixel_ids = jnp.arange(R, dtype=jnp.int32) + pixel_offset
 
-    is_diff = scene.materials.is_diff()
-    is_refl = scene.materials.is_refl()
-    is_refr = scene.materials.is_refr()
+    fetch_mat = _eye_material_lanes(scene)
 
     def pad_slots(x, fill=0.0):
         full = jnp.full((R, K) + x.shape[1:], fill, x.dtype)
@@ -119,11 +138,12 @@ def eye_pass(
 
         rec = intersect_scene(scene, o, d, newton_fn=newton_fn)
         obj = jnp.clip(rec.obj_id, 0, scene.n_objects - 1)
+        isd, isl, isr, m_diff, m_refl, m_refr, rn = fetch_mat(obj)
         hit = rec.hit & act
 
         # --- store a hit point at diffuse lobes (Raytracer.h:312-319) ---
-        diff_v = hit & is_diff[obj]
-        hp_wgt = rec.color * wgt * scene.materials.diff[obj]
+        diff_v = hit & isd
+        hp_wgt = rec.color * wgt * m_diff
         slot = count + jnp.cumsum(diff_v.astype(jnp.int32)) - 1
         widx = jnp.where(diff_v & (slot < capacity), slot, capacity)  # drop row
         px = jnp.broadcast_to(pixel_ids[:, None], (R, K)).reshape(R * K)
@@ -139,14 +159,14 @@ def eye_pass(
         dropped = dropped + (count + n_new - new_count)
 
         # --- continuations (Raytracer.h:320-336) ---
-        refl_v = hit & is_refl[obj]
-        refr_v = hit & is_refr[obj]
+        refl_v = hit & isl
+        refr_v = hit & isr
         d_refl = normalize(reflect(d, rec.n))
-        w_refl = rec.color * wgt * scene.materials.refl[obj]
-        eta = scene.materials.eta(obj, rec.inside)
+        w_refl = rec.color * wgt * m_refl
+        eta = eta_from_refrn(rn, rec.inside)
         n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
         d_refr = normalize(refract(d, n_eff, eta))
-        w_refr = rec.color * wgt * scene.materials.refr[obj]
+        w_refr = rec.color * wgt * m_refr
 
         # Primary continuation reuses the slot; a refr continuation that
         # coexists with refl becomes a secondary candidate for a free slot.
@@ -205,18 +225,17 @@ def _eye_pass_compact(scene, org, dir, capacity, max_depth, init_r2,
     dtype = org.dtype
     hp = make_hitpoints(capacity, init_r2, dtype)
 
-    is_diff = scene.materials.is_diff()
-    is_refl = scene.materials.is_refl()
-    is_refr = scene.materials.is_refr()
+    fetch_mat = _eye_material_lanes(scene)
 
     def step(carry, _):
         (o, d, wgt, px, act), (hp, count, dropped) = carry
         rec = intersect_scene(scene, o, d, newton_fn=newton_fn)
         obj = jnp.clip(rec.obj_id, 0, scene.n_objects - 1)
+        isd, isl, isr, m_diff, m_refl, m_refr, rn = fetch_mat(obj)
         hit = rec.hit & act
 
-        diff_v = hit & is_diff[obj]
-        hp_wgt = rec.color * wgt * scene.materials.diff[obj]
+        diff_v = hit & isd
+        hp_wgt = rec.color * wgt * m_diff
         slot = count + jnp.cumsum(diff_v.astype(jnp.int32)) - 1
         widx = jnp.where(diff_v & (slot < capacity), slot, capacity)
         hp = hp.replace(
@@ -230,14 +249,14 @@ def _eye_pass_compact(scene, org, dir, capacity, max_depth, init_r2,
         new_count = jnp.minimum(count + n_new, capacity)
         dropped = dropped + (count + n_new - new_count)
 
-        refl_v = hit & is_refl[obj]
-        refr_v = hit & is_refr[obj]
+        refl_v = hit & isl
+        refr_v = hit & isr
         d_refl = normalize(reflect(d, rec.n))
-        w_refl = rec.color * wgt * scene.materials.refl[obj]
-        eta = scene.materials.eta(obj, rec.inside)
+        w_refl = rec.color * wgt * m_refl
+        eta = eta_from_refrn(rn, rec.inside)
         n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
         d_refr = normalize(refract(d, n_eff, eta))
-        w_refr = rec.color * wgt * scene.materials.refr[obj]
+        w_refr = rec.color * wgt * m_refr
 
         prim_v = refl_v | refr_v
         prim_d = jnp.where(refl_v[:, None], d_refl, d_refr)

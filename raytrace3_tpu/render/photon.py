@@ -20,11 +20,30 @@ import jax
 import jax.numpy as jnp
 
 from ..core.sampling import cosine_hemisphere, roulette
-from ..core.types import Deposits
+from ..core.types import Deposits, eta_from_refrn
 from ..core.vecmath import normalize, reflect, refract
 from ..geometry.scene import Scene, intersect_scene
+from ..ops.onehot import take_rows
 from .eye import MAX_DEPTH
 from .light import emit_photons
+
+
+def _material_lanes(scene: Scene):
+    """Combined (N, 5) material table [diff_p, refl_p, refr_p, is_diff,
+    refrn] + a per-lane fetch via ONE one-hot contraction (TPU gathers cost
+    per index; this runs every walk segment)."""
+    diff_p, refl_p, refr_p = scene.materials.powers()
+    tbl = jnp.stack([
+        diff_p, refl_p, refr_p,
+        scene.materials.is_diff().astype(jnp.float32),
+        scene.materials.refrn,
+    ], axis=1)
+
+    def fetch(obj):
+        m = take_rows(tbl, obj)                           # (R, 5)
+        return m[:, 0], m[:, 1], m[:, 2], m[:, 3] > 0.5, m[:, 4]
+
+    return fetch
 
 
 def photon_trace(
@@ -50,27 +69,27 @@ def photon_trace(
     N = org.shape[0]
     segs = max_depth + 1
 
-    diff_p, refl_p, refr_p = scene.materials.powers()
-    is_diff = scene.materials.is_diff()
+    fetch_mat = _material_lanes(scene)
 
     def step(carry, k):
         o, d, f, alive = carry
         rec = intersect_scene(scene, o, d, newton_fn=newton_fn)
         obj = jnp.clip(rec.obj_id, 0, scene.n_objects - 1)
+        dp, rp, rr, isd, rn = fetch_mat(obj)
         hit = rec.hit & alive
 
         # Deposit at diffuse surfaces with the ARRIVAL flux (Raytracer.h:156
         # deposits before the albedo multiply).
-        dep_valid = hit & is_diff[obj]
+        dep_valid = hit & isd
         dep = (rec.pos, rec.n, f, dep_valid)
 
         # Roulette one continuation branch (Raytracer.h:162-207).
         k_r, k_d = jax.random.split(k)
-        branch = roulette(k_r, diff_p[obj], refl_p[obj], refr_p[obj])
+        branch = roulette(k_r, dp, rp, rr)
 
         d_diff = cosine_hemisphere(k_d, rec.n)            # Vec3.h:90-98 law
         d_refl = normalize(reflect(d, rec.n))
-        eta = scene.materials.eta(obj, rec.inside)
+        eta = eta_from_refrn(rn, rec.inside)
         n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
         d_refr = normalize(refract(d, n_eff, eta))
 
@@ -80,10 +99,9 @@ def photon_trace(
         )
         new_f = rec.color * f                              # every branch
         if debias_roulette:
-            allp = diff_p[obj] + refl_p[obj] + refr_p[obj]
+            allp = dp + rp + rr
             bp = jnp.where(
-                branch == 0, diff_p[obj],
-                jnp.where(branch == 1, refl_p[obj], refr_p[obj]),
+                branch == 0, dp, jnp.where(branch == 1, rp, rr),
             ) / jnp.where(allp > 0, allp, 1.0)
             new_f = new_f / jnp.where(bp > 1e-8, bp, 1.0)[:, None]
 
@@ -145,8 +163,7 @@ def photon_trace_regen(
         state = (z3, jnp.ones((N, 3), jnp.float32), z3,
                  jnp.zeros((N,), bool), jnp.zeros((N,), jnp.int32))
 
-    diff_p, refl_p, refr_p = scene.materials.powers()
-    is_diff = scene.materials.is_diff()
+    fetch_mat = _material_lanes(scene)
 
     def step(carry, k):
         o, d, f, alive, depth, emitted = carry
@@ -165,13 +182,14 @@ def photon_trace_regen(
 
         rec = intersect_scene(scene, o, d, newton_fn=newton_fn)
         obj = jnp.clip(rec.obj_id, 0, scene.n_objects - 1)
-        dep_valid = rec.hit & is_diff[obj]
+        dp, rp, rr, isd, rn = fetch_mat(obj)
+        dep_valid = rec.hit & isd
         dep = (rec.pos, rec.n, f, dep_valid)
 
-        branch = roulette(k_r, diff_p[obj], refl_p[obj], refr_p[obj])
+        branch = roulette(k_r, dp, rp, rr)
         d_diff = cosine_hemisphere(k_d, rec.n)
         d_refl = normalize(reflect(d, rec.n))
-        eta = scene.materials.eta(obj, rec.inside)
+        eta = eta_from_refrn(rn, rec.inside)
         n_eff = jnp.where(rec.inside[:, None], -rec.n, rec.n)
         d_refr = normalize(refract(d, n_eff, eta))
         new_d = jnp.where(
@@ -180,10 +198,9 @@ def photon_trace_regen(
         )
         new_f = rec.color * f
         if debias_roulette:
-            allp = diff_p[obj] + refl_p[obj] + refr_p[obj]
+            allp = dp + rp + rr
             bp = jnp.where(
-                branch == 0, diff_p[obj],
-                jnp.where(branch == 1, refl_p[obj], refr_p[obj]),
+                branch == 0, dp, jnp.where(branch == 1, rp, rr),
             ) / jnp.where(allp > 0, allp, 1.0)
             new_f = new_f / jnp.where(bp > 1e-8, bp, 1.0)[:, None]
 
