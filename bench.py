@@ -69,7 +69,10 @@ def main() -> int:
     use_pallas = os.environ.get("RT3_BENCH_PALLAS", "1") != "0"
     restarts = int(os.environ.get("RT3_BENCH_RESTARTS", "16"))
     n_timed = int(os.environ.get("RT3_BENCH_TIMED", "2"))
-    depfrac = float(os.environ.get("RT3_BENCH_DEPFRAC", "0.9"))
+    # 1.0 = no deposit compaction: the banded deposit's sort already pushes
+    # invalid lanes outside every search window, and the compaction gathers
+    # cost more than the 11% larger sort (docs/PERF.md).
+    depfrac = float(os.environ.get("RT3_BENCH_DEPFRAC", "1.0"))
 
     try:
         cpp = measure_cpp_baseline()
@@ -99,9 +102,6 @@ def main() -> int:
     from raytrace3_tpu.utils.config import RenderConfig
 
     backend = jax.default_backend()
-    # deposit_compact_frac: regen keeps every lane live, so ~75-85% of the
-    # (segments x N) candidate records are valid diffuse deposits; 0.9 gives
-    # headroom (the deposits_dropped stat asserts nothing is clipped).
     cfg = RenderConfig(
         scene="full", width=res, height=res, passes=1, rounds=rounds,
         photons_per_round=photons, max_depth=13, atlas_res=128,
