@@ -40,3 +40,52 @@ def load(path: str):
             int(z["seed"]),
             json.loads(str(z["extra"])),
         )
+
+
+# --- train-state (pytree) checkpointing -----------------------------------
+#
+# Inverse rendering carries (params, opt_state, step) — arbitrary nested
+# pytrees of arrays.  Flatten with jax.tree_util key paths into one .npz
+# (atomic-rename write); restore by unflattening against a live template of
+# the same structure.  SURVEY.md section 5's "orbax/np checkpoint of
+# (..., learnable params)" plan — np chosen: single-host, zero extra deps.
+
+
+def _flatten_with_paths(tree):
+    import jax
+
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    return {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in leaves}
+
+
+def save_tree(path: str, tree, step: int = 0) -> None:
+    """Persist any pytree of arrays (params / opt_state / ...) atomically."""
+    flat = _flatten_with_paths(tree)
+    assert len(set(flat)) == len(flat), "duplicate pytree key paths"
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, __step__=np.int64(step), **flat)
+    os.replace(tmp, path)
+
+
+def load_tree(path: str, template):
+    """Restore a pytree saved by ``save_tree``.
+
+    ``template`` supplies the structure (e.g. freshly-built params /
+    optimizer.init(params)); every leaf must be present in the file.
+    Returns (tree, step) or None if the file is absent.
+    """
+    import jax
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        leaves_kp, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for kp, tmpl in leaves_kp:
+            arr = z[jax.tree_util.keystr(kp)]
+            assert arr.shape == np.shape(tmpl), (
+                f"checkpoint leaf {jax.tree_util.keystr(kp)} shape "
+                f"{arr.shape} != template {np.shape(tmpl)}"
+            )
+            leaves.append(arr.astype(np.asarray(tmpl).dtype))
+        return jax.tree_util.tree_unflatten(treedef, leaves), int(z["__step__"])

@@ -35,18 +35,25 @@ def build_pass_fn():
     res = int(os.environ.get("RT3_BENCH_RES", "512"))
     rounds = int(os.environ.get("RT3_BENCH_ROUNDS", "16"))
     photons = int(os.environ.get("RT3_BENCH_PHOTONS", "131072"))
+    # Keep this IDENTICAL to bench.py's config so the profiled program is
+    # the benched program AND the persistent compile cache is shared.
+    depfrac = float(os.environ.get("RT3_BENCH_DEPFRAC", "1.0"))
+    restarts = int(os.environ.get("RT3_BENCH_RESTARTS", "16"))
     cfg = RenderConfig(
         scene="full", width=res, height=res, passes=1, rounds=rounds,
         photons_per_round=photons, max_depth=13, atlas_res=128,
         bezier_compact_frac=0.09, bezier_compact_frac_photon=0.05,
         newton_restarts=4, newton_iters=10,
-        update_mode="sppm", deposit="pallas", deposit_compact_frac=0.9,
+        update_mode="sppm", deposit="pallas", deposit_compact_frac=depfrac,
         hitpoint_factor=1.3, photon_regen=True,
         eye_compact_schedule=((1, 0.25), (4, 0.04), (6, 0.02)),
     )
     scene = build_scene(cfg)
-    newton_fn = make_newton_pallas(iters=cfg.newton_iters)
-    deposit_fn = PallasDeposit(tile=512, wchunk=1024, work_cap=16384)
+    newton_fn = make_newton_pallas(iters=cfg.newton_iters, restarts=restarts)
+    wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
+    work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
+    deposit_fn = PallasDeposit(tile=512, wchunk=wchunk, work_cap=work_cap,
+                               report_overflow=True)
     base = np.array([50.0, 35.0, 230.0])
     look = base + np.array([0.0, 0.042612, -1.0])
     return make_pass_fn(scene, cfg, base, look, deposit_fn=deposit_fn,

@@ -122,3 +122,40 @@ def test_photon_regen_consistent_estimator():
     floor = c(img_a, img_a2)
     ca = c(img_a, img_b)
     assert ca > floor - 0.05, (ca, floor)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    """save_tree/load_tree restore (params, opt_state) bitwise (SURVEY.md
+    section 5 checkpoint plan — the reference cannot resume at all)."""
+    import optax
+
+    from raytrace3_tpu.diff.train import extract_params, make_train_step
+    from raytrace3_tpu.utils import checkpoint as ckpt
+
+    cfg = RenderConfig(scene="cornell_diffuse", width=12, height=12,
+                       passes=1, rounds=1, photons_per_round=256,
+                       max_depth=3, atlas_res=8)
+    scene = driver.build_scene(cfg)
+    init_fn, step_fn = make_train_step(scene, cfg, optax.adam(1e-2))
+    params = extract_params(scene)
+    opt_state = init_fn(params)
+    key = jax.random.key(0)
+    target = np.zeros((cfg.height, cfg.width, 3), np.float32)
+    params, opt_state, _ = step_fn(params, opt_state, key, target)
+
+    path = str(tmp_path / "train.npz")
+    ckpt.save_tree(path, {"params": params, "opt": opt_state}, step=1)
+    template = {"params": jax.tree.map(np.zeros_like, params),
+                "opt": jax.tree.map(np.zeros_like, opt_state)}
+    restored, step = ckpt.load_tree(path, template)
+    assert step == 1
+    for got, want in zip(jax.tree.leaves(restored),
+                         jax.tree.leaves({"params": params, "opt": opt_state})):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # a step from the restored state matches a step from the live state
+    p1, _, l1 = step_fn(params, opt_state, key, target)
+    p2, _, l2 = step_fn(restored["params"], restored["opt"], key, target)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
