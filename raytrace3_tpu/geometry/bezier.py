@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.vecmath import M_EPS, MAX_DIST, normalize
+from ..ops.compact import compact_indices
 from ..ops.solve3 import solve3_columns
 from .aabb import aabb_from_points, slab_test
 
@@ -326,7 +327,7 @@ def intersect_bezier(
 
     cap = R if compact_frac >= 1.0 else max(8, int(R * compact_frac))
     if cap < R:
-        idx = jnp.nonzero(obj_gate, size=cap, fill_value=R)[0]    # (cap,)
+        idx = compact_indices(obj_gate, cap, fill=R)              # (cap,)
         safe = jnp.minimum(idx, R - 1)
         dir_c = dir[safe]
         t_c, u_c, v_c, pid_c, hit_c = winner_root(

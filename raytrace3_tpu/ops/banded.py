@@ -57,8 +57,9 @@ def make_banded_deposit(tile: int = 1024, window: int = 32768, axis: int = 0,
         hx = jnp.where(hp.valid, hp.pos[:, axis], jnp.inf)
         h_ord = jnp.argsort(hx)
         dx = jnp.where(dep.valid, dep.pos[:, axis], jnp.inf)
-        d_ord = jnp.argsort(dx)
-        dxs = dx[d_ord]
+        dxs, d_ord = jax.lax.sort_key_val(
+            dx, jnp.arange(dx.shape[0], dtype=jnp.int32)
+        )
         dpos = dep.pos[d_ord]
         dn = dep.n[d_ord]
         dflux = jnp.where(dep.valid[d_ord, None], dep.flux[d_ord], 0.0)

@@ -75,8 +75,9 @@ def make_banded2_deposit(tile: int = 512, window: int = 8192,
             dep.valid, dkx * KEY_STRIDE + dep.pos[:, ay],
             (n_buckets + 2) * KEY_STRIDE,
         )
-        d_ord = jnp.argsort(dkey)
-        dkeys = dkey[d_ord]
+        dkeys, d_ord = jax.lax.sort_key_val(
+            dkey, jnp.arange(dkey.shape[0], dtype=jnp.int32)
+        )
         dpos = dep.pos[d_ord]
         dn = dep.n[d_ord]
         dflux = jnp.where(dep.valid[d_ord, None], dep.flux[d_ord], 0.0)
@@ -88,8 +89,10 @@ def make_banded2_deposit(tile: int = 512, window: int = 8192,
         hkey = hkx.astype(jnp.float32) * KEY_STRIDE + jnp.where(
             hp.valid, hp.pos[:, ay], 0.0
         )
-        h_ord = jnp.argsort(hkey)
-        kx_sorted = hkx[h_ord]
+        _, h_ord, kx_sorted = jax.lax.sort(
+            (hkey, jnp.arange(hkey.shape[0], dtype=jnp.int32), hkx),
+            num_keys=1,
+        )
 
         counts = jnp.bincount(kx_sorted, length=n_buckets + 1)
         padded = ((counts + t - 1) // t) * t

@@ -63,8 +63,9 @@ def make_grid_deposit(
         dcell = jnp.where(
             dep.valid, cell_id(cell_coords(dep.pos)), n_cells
         )  # invalid -> sentinel cell, sorted to the end
-        order = jnp.argsort(dcell)
-        dcell_s = dcell[order]
+        dcell_s, order = jax.lax.sort_key_val(
+            dcell, jnp.arange(dcell.shape[0], dtype=jnp.int32)
+        )
         dpos = dep.pos[order]
         dn = dep.n[order]
         dflux = dep.flux[order]

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..core.types import HitPoints, eta_from_refrn, make_hitpoints
 from ..core.vecmath import normalize, reflect, refract
 from ..geometry.scene import Scene, intersect_scene
+from ..ops.compact import compact_indices
 from ..ops.onehot import take_rows
 
 #: Reference max trace depth (Raytracer.h:12 ``MAX_DEP 13``).
@@ -282,7 +283,7 @@ def _eye_pass_compact(scene, org, dir, capacity, max_depth, init_r2,
         if w < cur_w:
             o, d, wgt, px, act = lanes
             n_act = jnp.sum(act.astype(jnp.int32))
-            idx = jnp.nonzero(act, size=w, fill_value=cur_w)[0]
+            idx = compact_indices(act, w, fill=cur_w)
             ok = idx < cur_w
             safe = jnp.minimum(idx, cur_w - 1)
             lanes = (o[safe], d[safe], wgt[safe], px[safe], act[safe] & ok)

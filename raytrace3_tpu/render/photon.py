@@ -23,6 +23,7 @@ from ..core.sampling import cosine_hemisphere, roulette
 from ..core.types import Deposits, eta_from_refrn
 from ..core.vecmath import normalize, reflect, refract
 from ..geometry.scene import Scene, intersect_scene
+from ..ops.compact import compact_indices
 from ..ops.onehot import take_rows
 from .eye import MAX_DEPTH
 from .light import emit_photons
@@ -234,7 +235,7 @@ def compact_deposits(dep: Deposits, capacity: int) -> Deposits:
     D = dep.valid.shape[0]
     if capacity >= D:
         return dep
-    idx = jnp.nonzero(dep.valid, size=capacity, fill_value=D)[0]
+    idx = compact_indices(dep.valid, capacity, fill=D)
     ok = idx < D
     safe = jnp.minimum(idx, D - 1)
     return Deposits(
