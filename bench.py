@@ -121,8 +121,7 @@ def main() -> int:
     wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
     work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
     deposit_fn = PallasDeposit(tile=512, wchunk=wchunk, work_cap=work_cap,
-                               interpret=backend != "tpu",
-                               report_overflow=True)
+                               interpret=backend != "tpu")
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
 
@@ -178,11 +177,16 @@ def main() -> int:
         "compile_seconds": round(compile_s, 1),
         "photons_per_pass": int(emitted),
         "deposits_dropped": int(stats["deposits_dropped"]),
+        "eye_dropped": int(stats["dropped"]),
         "hitpoints": int(stats["count"]),
         "cpp_baseline_photons_per_s": cpp.get("photons_per_s"),
         "cpp_threads": cpp.get("threads"),
     }
     print(json.dumps(record))
+    # Silently lost flux invalidates the metric: both drop counters must be
+    # zero (deposit work-list overflow + eye-compaction clipping).
+    assert record["deposits_dropped"] == 0, record
+    assert record["eye_dropped"] == 0, record
     return 0
 
 

@@ -101,6 +101,8 @@ def main(argv=None) -> int:
         import jax as _jax
 
         from .ops.deposit_pallas import PallasDeposit
+        # Overflow of the bounded work list is reported unconditionally and
+        # folded into the deposits_dropped stat (never silent flux loss).
         deposit_fn = PallasDeposit(
             interpret=_jax.default_backend() != "tpu"
         )

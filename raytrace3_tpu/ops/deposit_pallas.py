@@ -98,7 +98,7 @@ def _deposit_kernel(wt_ref, wb_ref, wc_ref, hp_ref, dep_ref, out_ref,
 
 
 class PallasDeposit:
-    """deposit_fn(hp, dep) -> (d_nphot, d_tao), Pallas-backed.
+    """deposit_fn(hp, dep) -> (d_nphot, d_tao, overflow), Pallas-backed.
 
     ``prepare(hp)`` builds the round-invariant hit-point layout; pass its
     result back via ``prep=`` from inside the rounds loop to amortise the
@@ -106,21 +106,20 @@ class PallasDeposit:
 
     ``work_cap`` bounds the per-call work list (tiles + deposit blocks);
     overflowing chunks are dropped (lost flux) — size it ~2x the expected
-    candidate volume / wchunk.  With ``report_overflow=True`` the call
-    returns a third value: an int32 upper bound on candidate deposit lanes
-    skipped by the cap (0 = exact; ``photon_rounds`` folds it into the
-    ``deposits_dropped`` stat).  ``interpret=True`` for CPU tests.
+    candidate volume / wchunk.  The third return value is UNCONDITIONAL: an
+    int32 upper bound on candidate deposit lanes skipped by the cap (0 =
+    exact); ``photon_rounds`` folds it into the ``deposits_dropped`` stat so
+    a mis-sized cap is never silent in any entry point.
+    ``interpret=True`` for CPU tests.
     """
 
-    #: calls return (d_nphot, d_tao, overflow) when True (see class doc).
-    returns_aux = False
+    #: calls return (d_nphot, d_tao, overflow) — see class doc.
+    returns_aux = True
 
     def __init__(self, tile: int = 512, wchunk: int = 1024,
                  work_cap: int = 8192, axes=(0, 1),
                  search_r: float = SEARCH_R, x_lo: float = DEFAULT_X_LO,
-                 x_hi: float = DEFAULT_X_HI, interpret: bool = False,
-                 report_overflow: bool = False):
-        self.returns_aux = report_overflow
+                 x_hi: float = DEFAULT_X_HI, interpret: bool = False):
         self.tile = tile
         self.wchunk = wchunk
         self.work_cap = work_cap
@@ -318,8 +317,6 @@ class PallasDeposit:
         res = out[prep.g]                                   # (C, 8) one gather
         cnt = res[:, 0]
         d_tao = hp.wgt * res[:, 1:4] / jnp.pi               # Raytracer.h:156
-        if not self.returns_aux:
-            return cnt, d_tao
         # Upper bound on candidate lanes in work items beyond the cap.
         overflow = jnp.maximum(total - W, 0).astype(jnp.int32) * wc
         return cnt, d_tao, overflow

@@ -48,16 +48,36 @@ def _materials(mats: list[dict]) -> Materials:
     )
 
 
-def _atlas(res: int):
+#: Atlas slot -> reference asset filename (Scene.h:131-156).  Extensions are
+#: tried in this order so PNG re-exports of the JPEGs also work.
+ATLAS_ASSETS = ("wall", "timg", "planet", "blue")
+_ASSET_EXTS = (".jpg", ".jpeg", ".png")
+
+
+def _atlas(res: int, asset_dir: str | None = None):
     """Procedural stand-ins for wall.jpg / timg.jpg / planet.jpg / blue.jpg
     (Scene.h:131-156; blue.jpg is missing from the reference repo —
-    SURVEY quirk #11 — so a flat blue takes its place)."""
-    return tx.build_atlas([
+    SURVEY quirk #11 — so a flat blue takes its place).
+
+    When ``asset_dir`` (or env ``RT3_ASSET_TEXTURES``) names a directory,
+    any of the reference texture files found there replace the matching
+    procedural slot — the ``load_image`` path the reference exercises via
+    cv::imread (Element.h:47-59)."""
+    slots = [
         tx.bricks(res),                        # 0: wall
         tx.marble(res),                        # 1: timg (floor)
         tx.planet(res),                        # 2: planet
         tx.flat(res, (0.2, 0.35, 0.9)),        # 3: blue
-    ])
+    ]
+    asset_dir = asset_dir or os.environ.get("RT3_ASSET_TEXTURES")
+    if asset_dir:
+        for i, stem in enumerate(ATLAS_ASSETS):
+            for ext in _ASSET_EXTS:
+                path = os.path.join(asset_dir, stem + ext)
+                if os.path.exists(path):
+                    slots[i] = tx.load_image(path, res)
+                    break
+    return tx.build_atlas(slots)
 
 
 def _cornell_geometry():

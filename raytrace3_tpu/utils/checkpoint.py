@@ -55,13 +55,16 @@ def _flatten_with_paths(tree):
     import jax
 
     leaves = jax.tree_util.tree_leaves_with_path(tree)
-    return {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in leaves}
+    flat = {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in leaves}
+    # Two distinct key paths stringifying identically would silently drop a
+    # leaf in the dict comprehension — compare against the leaf count.
+    assert len(flat) == len(leaves), "duplicate pytree key-path strings"
+    return flat
 
 
 def save_tree(path: str, tree, step: int = 0) -> None:
     """Persist any pytree of arrays (params / opt_state / ...) atomically."""
     flat = _flatten_with_paths(tree)
-    assert len(set(flat)) == len(flat), "duplicate pytree key paths"
     tmp = path + ".tmp.npz"
     np.savez(tmp, __step__=np.int64(step), **flat)
     os.replace(tmp, path)
@@ -87,5 +90,11 @@ def load_tree(path: str, template):
                 f"checkpoint leaf {jax.tree_util.keystr(kp)} shape "
                 f"{arr.shape} != template {np.shape(tmpl)}"
             )
-            leaves.append(arr.astype(np.asarray(tmpl).dtype))
+            want = np.asarray(tmpl).dtype
+            assert arr.dtype == want, (
+                f"checkpoint leaf {jax.tree_util.keystr(kp)} dtype "
+                f"{arr.dtype} != template {want} (silent casts corrupt "
+                f"precision; rebuild the template with matching dtypes)"
+            )
+            leaves.append(arr)
         return jax.tree_util.tree_unflatten(treedef, leaves), int(z["__step__"])

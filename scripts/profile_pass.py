@@ -52,8 +52,7 @@ def build_pass_fn():
     newton_fn = make_newton_pallas(iters=cfg.newton_iters, restarts=restarts)
     wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
     work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
-    deposit_fn = PallasDeposit(tile=512, wchunk=wchunk, work_cap=work_cap,
-                               report_overflow=True)
+    deposit_fn = PallasDeposit(tile=512, wchunk=wchunk, work_cap=work_cap)
     base = np.array([50.0, 35.0, 230.0])
     look = base + np.array([0.0, 0.042612, -1.0])
     return make_pass_fn(scene, cfg, base, look, deposit_fn=deposit_fn,

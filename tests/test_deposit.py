@@ -200,7 +200,8 @@ def test_pallas_deposit_matches_bruteforce_uniform(rng):
     hp, dep = _random_case(rng, C=400, D=900)
     pd = PallasDeposit(tile=64, wchunk=128, work_cap=512, interpret=True)
     bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
-    gc, gt = jax.jit(pd)(hp, dep)
+    gc, gt, ovf = jax.jit(pd)(hp, dep)
+    assert int(ovf) == 0
     np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
                                rtol=2e-4, atol=1e-4)
@@ -214,7 +215,8 @@ def test_pallas_deposit_wall_distribution(rng):
     hp, dep = _wall_case(rng)
     pd = PallasDeposit(tile=32, wchunk=128, work_cap=2048, interpret=True)
     bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
-    gc, gt = jax.jit(pd)(hp, dep)
+    gc, gt, ovf = jax.jit(pd)(hp, dep)
+    assert int(ovf) == 0
     np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
                                rtol=2e-4, atol=1e-4)
@@ -244,9 +246,29 @@ def test_pallas_deposit_empty_and_invalid(rng):
 
     hp, dep = _random_case(rng, C=100, D=200)
     pd = PallasDeposit(tile=32, wchunk=128, work_cap=512, interpret=True)
-    cnt, tao = pd(hp, dep.replace(valid=jnp.zeros_like(dep.valid)))
+    cnt, tao, _ = pd(hp, dep.replace(valid=jnp.zeros_like(dep.valid)))
     assert float(jnp.abs(cnt).sum()) == 0.0
     assert float(jnp.abs(tao).sum()) == 0.0
     # all hit points invalid
-    cnt, tao = pd(hp.replace(valid=jnp.zeros_like(hp.valid)), dep)
+    cnt, tao, _ = pd(hp.replace(valid=jnp.zeros_like(hp.valid)), dep)
     assert float(jnp.abs(cnt).sum()) == 0.0
+
+
+def test_pallas_deposit_overflow_is_reported(rng):
+    """A work_cap too small for the candidate volume must REPORT the skipped
+    lanes (VERDICT round 1: silent flux loss is not acceptable anywhere)."""
+    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+
+    hp, dep = _wall_case(rng)
+    n_tiles = None
+    pd_small = PallasDeposit(tile=32, wchunk=128, work_cap=2048,
+                             interpret=True)
+    # find the true work volume with a generous cap first
+    _, _, ovf_big = pd_small(hp, dep)
+    assert int(ovf_big) == 0
+    c_pad = pd_small._c_pad(hp.capacity)
+    n_tiles = c_pad // 32
+    pd_tiny = PallasDeposit(tile=32, wchunk=128, work_cap=n_tiles + 1,
+                            interpret=True)
+    cnt, _, ovf = pd_tiny(hp, dep)
+    assert int(ovf) > 0  # the cap clipped real candidate work, loudly

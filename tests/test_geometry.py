@@ -153,6 +153,36 @@ class TestTexture:
         )
         np.testing.assert_allclose(a, b, rtol=1e-5)
 
+    def test_load_image_roundtrip(self, tmp_path):
+        """The real-asset path (Element.h:47-59's cv::imread equivalent):
+        write a PNG, load it back resampled, values land in [0,1]."""
+        from PIL import Image
+
+        from raytrace3_tpu.textures.texture import load_image
+
+        src = (np.mgrid[0:16, 0:16].sum(0) % 2 * 255).astype(np.uint8)
+        rgb = np.stack([src, np.zeros_like(src), 255 - src], -1)
+        p = tmp_path / "wall.png"
+        Image.fromarray(rgb).save(p)
+        got = load_image(str(p), res=16)
+        assert got.shape == (16, 16, 3) and got.dtype == np.float32
+        np.testing.assert_allclose(got, rgb.astype(np.float32) / 255.0,
+                                   atol=1e-3)
+
+    def test_atlas_uses_asset_dir(self, tmp_path):
+        """RT3_ASSET_TEXTURES overrides procedural atlas slots with files."""
+        from PIL import Image
+
+        from raytrace3_tpu import scenes
+
+        solid = np.full((8, 8, 3), [255, 128, 0], np.uint8)
+        Image.fromarray(solid).save(tmp_path / "planet.png")
+        atlas = np.asarray(scenes._atlas(8, asset_dir=str(tmp_path)))
+        np.testing.assert_allclose(
+            atlas[2], solid.astype(np.float32) / 255.0, atol=1e-3)
+        # untouched slots stay procedural
+        np.testing.assert_allclose(atlas[1], np.asarray(scenes.tx.marble(8)))
+
 
 class TestCamera:
     def test_reference_basis(self):

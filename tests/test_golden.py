@@ -191,12 +191,19 @@ def test_fixed_key_golden_hash(key):
         n_rounds=2, photons_per_round=1024, max_depth=4))(key)
     img8 = np.asarray(jnp.round(img * 1e4).astype(jnp.int32))
     h = hashlib.sha256(img8.tobytes()).hexdigest()[:16]
-    # recorded from the first green run; see test docstring
+    # Regeneration is ONLY allowed behind an explicit env flag — a missing
+    # golden file must FAIL, not self-heal to whatever the code now produces.
     import os
     golden_file = os.path.join(os.path.dirname(__file__), "golden_hash.txt")
     if not os.path.exists(golden_file):
-        with open(golden_file, "w") as f:
-            f.write(h + "\n")
+        if os.environ.get("RT3_REGEN_GOLDEN") == "1":
+            with open(golden_file, "w") as f:
+                f.write(h + "\n")
+        else:
+            pytest.fail(
+                "tests/golden_hash.txt is missing; re-record it explicitly "
+                "with RT3_REGEN_GOLDEN=1 after verifying the change"
+            )
     with open(golden_file) as f:
         want = f.read().strip()
     assert h == want, f"pipeline output drifted: {h} != {want}"
