@@ -32,7 +32,8 @@ from ..geometry.scene import Scene
 from .deposit import deposit_bruteforce
 from .eye import INIT_R2, MAX_DEPTH, eye_pass
 from .light import emit_photons
-from .photon import compact_deposits, photon_trace, photon_trace_regen
+from .photon import (compact_deposits, photon_trace, photon_trace_regen,
+                     regen_state_init)
 
 #: Reference radius-shrink factor (Raytracer.h:45).
 ALPHA = 0.7
@@ -128,10 +129,8 @@ def photon_rounds(
     keys = jax.random.split(key, n_rounds)
 
     if regen:
-        N = scene.light_pos.shape[0] * photons_per_round
-        z3 = jnp.zeros((N, 3), jnp.float32)
-        pstate = (z3, jnp.ones((N, 3), jnp.float32), z3,
-                  jnp.zeros((N,), bool), jnp.zeros((N,), jnp.int32))
+        pstate = regen_state_init(scene.light_pos.shape[0],
+                                  photons_per_round)
 
         def round_body(carry, k):
             hp, pstate, emitted, drops = carry
@@ -145,13 +144,16 @@ def photon_rounds(
             return (fold(hp, d_n, d_tao), pstate, emitted + e,
                     drops + dropped + ovf), None
 
+        L = scene.light_pos.shape[0]
         (hp, _, emitted, drops), _ = jax.lax.scan(
             round_body,
-            (hp, pstate, jnp.zeros((), jnp.float32),
+            (hp, pstate, jnp.zeros((L,), jnp.float32),
              jnp.zeros((), jnp.int32)),
             keys,
         )
-        return hp, emitted, drops
+        # Per-light counts are equal to within one photon (round-robin
+        # refill), so the scalar per-light normaliser is their mean.
+        return hp, jnp.mean(emitted), drops
 
     def round_body(carry, k):
         hp, drops = carry

@@ -124,6 +124,72 @@ def test_photon_regen_consistent_estimator():
     assert ca > floor - 0.05, (ca, floor)
 
 
+def test_photon_regen_two_lights_consistent_estimator():
+    """Two lights with DIFFERENT colours/positions (so their photons die at
+    different rates): the regen estimator must still match the static-lane
+    estimator.  Round 1's positional lane->light refill over-emitted from
+    short-lived lights while normalising by the per-light average, which
+    skews the colour balance; the round-robin refill keeps per-light emitted
+    counts equal to within one photon (render/photon.py)."""
+    import jax
+    import numpy as np
+
+    from raytrace3_tpu import emit_rays, get_scene, render_pass
+    from raytrace3_tpu.scenes import reference_camera
+
+    scene = get_scene("cornell_two_lights", atlas_res=32)
+    cam = reference_camera(48, 48)
+    org, dir = emit_rays(cam)
+
+    def render(regen, k):
+        img, stats = jax.jit(
+            lambda kk: render_pass(
+                scene, org, dir, kk, hitpoint_capacity=48 * 48 * 2,
+                n_rounds=6, photons_per_round=4096, photon_regen=regen,
+            )
+        )(k)
+        return np.asarray(img), stats
+
+    img_a, st_a = render(False, jax.random.key(3))
+    img_a2, _ = render(False, jax.random.key(11))
+    img_b, st_b = render(True, jax.random.key(4))
+    assert float(st_b["photons_emitted"]) > 1.5 * 6 * 4096
+    assert not np.isnan(img_b).any()
+    # the two lights have different colours, so a per-light normalisation
+    # error shows up as a CHANNEL-BALANCE shift: check each channel's mean
+    ma, mb = img_a.mean(0).mean(0), img_b.mean(0).mean(0)
+    noise = np.abs(img_a - img_a2).mean() / img_a.mean()  # MC floor
+    rel = np.abs(ma - mb) / ma
+    assert rel.max() < 0.08, (ma, mb, rel, noise)
+    c = lambda x, y: np.corrcoef(x.reshape(-1), y.reshape(-1))[0, 1]
+    floor = c(img_a, img_a2)
+    assert c(img_a, img_b) > floor - 0.05, (c(img_a, img_b), floor)
+
+
+def test_photon_regen_per_light_counts_balanced():
+    """The round-robin refill keeps per-light emitted counts equal to within
+    ONE photon across rounds, by construction — the deterministic invariant
+    behind the two-light statistical test above.  (With the old positional
+    lane->light binding this scene measured a ~7% imbalance.)"""
+    import jax
+    import numpy as np
+
+    from raytrace3_tpu import get_scene
+    from raytrace3_tpu.render.photon import photon_trace_regen
+
+    scene = get_scene("cornell_two_lights", atlas_res=16)
+    st, key = None, jax.random.key(0)
+    total = np.zeros(2)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        _, st, e = photon_trace_regen(
+            scene, k, scene.light_pos, scene.light_color, 1024, st,
+            max_depth=13)
+        total += np.asarray(e)
+    assert total.sum() > 5 * 1024  # regen actually packed extra photons
+    assert abs(total[0] - total[1]) <= 1.0, total
+
+
 def test_train_state_checkpoint_roundtrip(tmp_path):
     """save_tree/load_tree restore (params, opt_state) bitwise (SURVEY.md
     section 5 checkpoint plan — the reference cannot resume at all)."""
