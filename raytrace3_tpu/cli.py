@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--update-mode", choices=["sppm", "reference"], default=None)
     p.add_argument("--deposit",
-                   choices=["bruteforce", "grid", "banded", "pallas"],
+                   choices=["bruteforce", "grid", "pallas"],
                    default=None)
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas TPU kernels")
@@ -94,9 +94,6 @@ def main(argv=None) -> int:
     if cfg.deposit == "grid":
         from .ops.grid import make_grid_deposit
         deposit_fn = make_grid_deposit()
-    elif cfg.deposit == "banded":
-        from .ops.banded2 import make_banded2_deposit
-        deposit_fn = make_banded2_deposit()
     elif cfg.deposit == "pallas":
         import jax as _jax
 

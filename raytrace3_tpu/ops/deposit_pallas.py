@@ -1,12 +1,16 @@
 """Pallas TPU deposit kernel: exact banded flux accumulation, hot kernel #2.
 
 Replaces the reference's per-photon FLANN kd-tree radius query
-(raytracer/Raytracer.h:92-98, 137-159, 370-381) — and supersedes the pure-XLA
-banded ops (ops/banded.py, ops/banded2.py) whose (tile x window) pair
-intermediates round-trip through HBM and whose fixed window must be sized for
-the WORST tile (caustic hot spots), wasting ~10x work on average tiles.
+(raytracer/Raytracer.h:92-98, 137-159, 370-381).  It superseded two earlier
+pure-XLA banded backends (ops/banded.py, ops/banded2.py, removed in round 2
+— see git history) whose (tile x window) pair intermediates round-tripped
+through HBM and whose fixed window had to be sized for the WORST tile
+(caustic hot spots), wasting ~10x work on average tiles.  The backend
+hierarchy is now: ``render/deposit.py`` bruteforce (the O(C x D) MXU oracle,
+always exact), ``ops/grid.py`` (sorted uniform grid, large-canvas default),
+and this kernel (fastest measured on the v5e).
 
-Layout (same two-key banding as ops/banded2.py):
+Layout (two-key banding):
   * key = x_bucket * KEY_STRIDE + y with bucket width 2r, both sides sorted;
   * hit points live in a BUCKET-ALIGNED, tile-padded layout so every tile of
     ``tile`` consecutive slots belongs to exactly one bucket — this layout
@@ -44,7 +48,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import Deposits, HitPoints
 from ..render.deposit import NORMAL_DOT_MIN
-from .banded2 import DEFAULT_X_HI, DEFAULT_X_LO, KEY_STRIDE, SEARCH_R
+
+#: Reference fixed search radius^2 = 2.0 (Raytracer.h:85).
+SEARCH_R = math.sqrt(2.0)
+#: Key stride must exceed the scene's coordinate extent along the y key.
+KEY_STRIDE = 4096.0
+#: Static scene bounds along the bucket axis (reference scene fits easily).
+DEFAULT_X_LO = -40.0
+DEFAULT_X_HI = 200.0
 
 #: Sentinel position for invalid/padding deposit lanes (fails any d2 test).
 FAR = 1e9

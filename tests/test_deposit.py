@@ -105,34 +105,7 @@ def test_compact_deposits(rng):
     assert (np.asarray(c3[0]) <= np.asarray(c0[0]) + 1e-6).all()
 
 
-def test_banded_matches_bruteforce(rng):
-    from raytrace3_tpu.ops.banded import make_banded_deposit
 
-    hp, dep = _random_case(rng, C=400, D=900)
-    banded = make_banded_deposit(tile=64, window=900)  # full window = exact
-    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
-    gc, gt = jax.jit(banded)(hp, dep)
-    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
-                               rtol=2e-4, atol=1e-4)
-
-
-def test_banded_narrow_window_still_exact_for_sparse(rng):
-    """With points spread over a wide slab, a narrow window still captures
-    every in-radius pair (the whole point of the banding)."""
-    from raytrace3_tpu.ops.banded import make_banded_deposit
-
-    hp, dep = _random_case(rng, C=300, D=2000)
-    # spread x over [0, 400] so each sqrt(2) slab holds few deposits
-    f = 10.0
-    hp = hp.replace(pos=hp.pos * jnp.asarray([f, 1.0, 1.0]))
-    dep = dep.replace(pos=dep.pos * jnp.asarray([f, 1.0, 1.0]))
-    banded = make_banded_deposit(tile=32, window=256)
-    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
-    gc, gt = jax.jit(banded)(hp, dep)
-    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
-                               rtol=2e-4, atol=1e-4)
 
 
 def _wall_case(rng, C=500, D=3000):
@@ -154,44 +127,8 @@ def _wall_case(rng, C=500, D=3000):
     return hp, dep
 
 
-def test_banded2_matches_bruteforce_uniform(rng):
-    from raytrace3_tpu.ops.banded2 import make_banded2_deposit
-
-    hp, dep = _random_case(rng, C=400, D=900)
-    b2 = make_banded2_deposit(tile=64, window=900)
-    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
-    gc, gt = jax.jit(b2)(hp, dep)
-    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
-                               rtol=2e-4, atol=1e-4)
 
 
-def test_banded2_wall_distribution_narrow_window(rng):
-    """The wall pathology: 1-D banding would need a window of ~all wall
-    deposits; the 2-key banding stays exact with a small window."""
-    from raytrace3_tpu.ops.banded2 import make_banded2_deposit
-
-    hp, dep = _wall_case(rng)
-    b2 = make_banded2_deposit(tile=32, window=512)
-    bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
-    gc, gt = jax.jit(b2)(hp, dep)
-    np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
-                               rtol=2e-4, atol=1e-4)
-
-
-def test_banded2_chunked_matches_unchunked(rng):
-    from raytrace3_tpu.ops.banded2 import make_banded2_deposit
-
-    hp, dep = _wall_case(rng)
-    a = make_banded2_deposit(tile=32, window=1024)(hp, dep)
-    b = make_banded2_deposit(tile=32, window=1024, chunk=256)(hp, dep)
-    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
-                               rtol=1e-5, atol=1e-6)
-    # and still equals brute force
-    bc, _ = deposit_bruteforce(hp, dep)
-    np.testing.assert_allclose(np.asarray(b[0]), np.asarray(bc), rtol=1e-5)
 
 
 def test_pallas_deposit_matches_bruteforce_uniform(rng):
@@ -209,7 +146,8 @@ def test_pallas_deposit_matches_bruteforce_uniform(rng):
 
 def test_pallas_deposit_wall_distribution(rng):
     """Adversarial wall clustering: the exact per-tile intervals adapt, so
-    no window-overflow drops are possible (unlike banded/banded2)."""
+    no window-overflow drops are possible (unlike the removed fixed-window
+    banded backends — see git history)."""
     from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
 
     hp, dep = _wall_case(rng)

@@ -207,45 +207,3 @@ def test_fixed_key_golden_hash(key):
     with open(golden_file) as f:
         want = f.read().strip()
     assert h == want, f"pipeline output drifted: {h} != {want}"
-
-
-def test_banded_render_matches_bruteforce(key):
-    from raytrace3_tpu.ops.banded import make_banded_deposit
-
-    scene = build_scene(CFG)
-    cam = look_at(jnp.asarray([50.0, 35.0, 230.0], jnp.float32),
-                  jnp.asarray([50.0, 35.042612, 229.0], jnp.float32),
-                  CFG.width, CFG.height)
-    org, dirs = emit_rays(cam)
-
-    def run(dep_fn):
-        img, _ = jax.jit(lambda k: render_pass(
-            scene, org, dirs, k, hitpoint_capacity=CFG.hitpoint_capacity,
-            n_rounds=2, photons_per_round=2048, max_depth=4,
-            deposit_fn=dep_fn))(key)
-        return np.asarray(img)
-
-    a = run(deposit_bruteforce)
-    b = run(make_banded_deposit(tile=256, window=4096))
-    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
-
-
-def test_banded2_render_matches_bruteforce(key):
-    from raytrace3_tpu.ops.banded2 import make_banded2_deposit
-
-    scene = build_scene(CFG)
-    cam = look_at(jnp.asarray([50.0, 35.0, 230.0], jnp.float32),
-                  jnp.asarray([50.0, 35.042612, 229.0], jnp.float32),
-                  CFG.width, CFG.height)
-    org, dirs = emit_rays(cam)
-
-    def run(dep_fn):
-        img, _ = jax.jit(lambda k: render_pass(
-            scene, org, dirs, k, hitpoint_capacity=CFG.hitpoint_capacity,
-            n_rounds=2, photons_per_round=2048, max_depth=4,
-            deposit_fn=dep_fn))(key)
-        return np.asarray(img)
-
-    a = run(deposit_bruteforce)
-    b = run(make_banded2_deposit(tile=128, window=2048))
-    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
