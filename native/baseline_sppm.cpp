@@ -1,13 +1,25 @@
 // baseline_sppm: an independent C++ implementation of the reference
 // algorithm (wondergo2017/raytrace3: SPPM with planes/spheres/cubic-Bezier
-// Newton intersection), used ONLY to measure the C++ photons/s baseline that
-// anchors bench.py's vs_baseline ratio (BASELINE.md: "the C++ baseline must
-// be measured by us ... on the 512x512 teapot configuration").
+// Newton intersection), used to
+//   1. measure the C++ photons/s baseline that anchors bench.py's
+//      vs_baseline ratio (BASELINE.md: "the C++ baseline must be measured
+//      by us ... on the 512x512 teapot configuration"), and
+//   2. render a LINEAR-radiance image of the full scene for statistical
+//      cross-validation of the JAX renderer's specular + caustic transport
+//      (VERDICT round 1, missing item 1): pass a 5th arg to dump the canvas.
 //
 // Deliberately written from the algorithm description, not transcribed:
-// - same workload: 512x512 eye pass (depth 13), photon rounds of 100
-//   photons, Newton 10 iters x 50 random restarts per candidate patch ray,
-//   AABB-gated, radius^2 = 2.0 neighbor deposits;
+// - same workload: eye pass (depth 13, all lobes followed), photon rounds of
+//   100 photons, Newton 10 iters x 50 random restarts per candidate patch
+//   ray, AABB-gated, radius^2 = 2.0 neighbor deposits;
+// - same transport rules as the reference (Raytracer.h:117-209,296-357):
+//   eye weight multiplies color * lobe coefficient per branch; photon flux
+//   multiplies the surface COLOR ONLY on every roulette branch
+//   (Raytracer.h:165,180,190); deposits use the arrival flux (:156);
+//   roulette keeps the full flux (the reference's biased pick, Obj.h:30-45);
+//   the HitPoint::update radius shrink is dead code as executed
+//   (Raytracer.h:74 guard: N never leaves 0), so radii stay at INIT_R2 and
+//   the image estimate is tao / (pi r^2 totalPhotons) (Raytracer.h:292);
 // - neighbor search: uniform grid (cell = sqrt(2)) instead of FLANN's
 //   kd-tree - at this radius/scene it is faster than a kd-tree, which makes
 //   the measured baseline CONSERVATIVE (our speedup ratio is understated);
@@ -15,8 +27,11 @@
 //   reference's cv::Matx inverse, again conservative.
 //
 // Build: g++ -O3 -march=native -fopenmp -std=c++17 baseline_sppm.cpp -o baseline_sppm
-// Run:   ./baseline_sppm <teapot.bpt> [res] [rounds] [threads]
+// Run:   ./baseline_sppm <teapot.bpt> [res] [rounds] [threads] [dump.bin]
 // Emits one JSON line: {"photons_per_s": ..., "eye_s": ..., "photon_s": ...}
+// With dump.bin: also writes res*res*3 float32 linear radiance (pixel id =
+// y*res+x, matching raytrace3_tpu.render.camera.emit_rays order) and a
+// tone-mapped dump.bin.ppm for eyeballing.
 
 #include <cmath>
 #include <cstdio>
@@ -73,7 +88,7 @@ struct Rng {
   }
 };
 
-struct Mat {  // material
+struct Mat {  // material; predicates follow Element.h:16-18 + Vec3.h:72-79
   V3 diff, refl, refr; double refrn;
   bool isDiff() const { return diff.x > EPS && diff.y > EPS && diff.z > EPS; }
   bool isRefl() const { return refl.x > EPS && refl.y > EPS && refl.z > EPS; }
@@ -147,6 +162,7 @@ struct Scene {
   std::vector<Patch> patches;
   V3 bezLo, bezHi;
   std::vector<Mat> mats;  // per object id: planes, spheres, bezier(1)
+  std::vector<V3> cols;   // per object flat color (Obj.h:46, GetColor w/o texture)
   V3 lightPos{50, 60, 85};
   V3 lightCol{5000, 5000, 5000};
 
@@ -220,7 +236,13 @@ struct Scene {
   }
 };
 
-struct HitPoint { V3 p, n, wgt; double r2 = INIT_R2; double tao[3] = {0, 0, 0}; int newN = 0; };
+struct HitPoint {
+  V3 p, n, wgt;
+  double r2 = INIT_R2;
+  double tao[3] = {0, 0, 0};
+  int newN = 0;
+  int px = -1;  // pixel id (y*res + x), Raytracer.h:47-68 carries (x, y)
+};
 
 // uniform grid over hit points (cell = sqrt(INIT_R2))
 struct Grid {
@@ -270,16 +292,22 @@ struct Tracer {
   Grid grid;
   Rng rng{12345};
 
-  void eyeTrace(const V3& o, const V3& d, V3 wgt, int dep) {
+  // ViewTrace (Raytracer.h:296-357): every active lobe is followed; the
+  // per-branch weight is color * wgt * lobe-coefficient (:316,:324,:335).
+  void eyeTrace(const V3& o, const V3& d, V3 wgt, int dep, int px) {
     if (dep > MAX_DEP) return;
     Hit h = sc->nearest(o, d, rng);
     if (h.obj < 0) return;
     const Mat& m = sc->mats[h.obj];
+    const V3& col = sc->cols[h.obj];
     if (m.isDiff()) {
-      HitPoint hp; hp.p = h.p; hp.n = h.n; hp.wgt = wgt.mul(m.diff);
+      HitPoint hp; hp.p = h.p; hp.n = h.n; hp.wgt = col.mul(wgt).mul(m.diff);
+      hp.px = px;
       hps.push_back(hp);
     }
-    if (m.isRefl()) eyeTrace(h.p, (d - h.n * (2 * d.dot(h.n))).unit(), wgt.mul(m.refl), dep + 1);
+    if (m.isRefl())
+      eyeTrace(h.p, (d - h.n * (2 * d.dot(h.n))).unit(), col.mul(wgt).mul(m.refl),
+               dep + 1, px);
     if (m.isRefr()) {
       double eta = h.inside ? m.refrn : 1.0 / m.refrn;
       V3 n = h.inside ? h.n * -1.0 : h.n;
@@ -287,15 +315,19 @@ struct Tracer {
       double cr2 = 1 - (1 - ci * ci) * eta * eta;
       V3 nd = cr2 > EPS ? (d * eta + n * (eta * ci - std::sqrt(cr2))).unit()
                         : (d - n * (2 * d.dot(n))).unit();
-      eyeTrace(h.p, nd, wgt.mul(m.refr), dep + 1);
+      eyeTrace(h.p, nd, col.mul(wgt).mul(m.refr), dep + 1, px);
     }
   }
 
+  // PhotonTrace (Raytracer.h:117-209): deposit the ARRIVAL flux at diffuse
+  // surfaces (:156), then roulette ONE branch; every branch multiplies the
+  // flux by the surface color ONLY (:165,:180,:190).
   void photonTrace(const V3& o, const V3& d, V3 flux, int dep) {
     if (dep > MAX_DEP) return;
     Hit h = sc->nearest(o, d, rng);
     if (h.obj < 0) return;
     const Mat& m = sc->mats[h.obj];
+    const V3& col = sc->cols[h.obj];
     if (m.isDiff()) {
       grid.query(h.p, [&](int i) {
         HitPoint& hp = hps[size_t(i)];
@@ -308,17 +340,18 @@ struct Tracer {
         }
       });
     }
-    // roulette one branch ~ lobe mean powers (the reference's biased pick)
+    // roulette one branch ~ lobe mean powers (the reference's biased pick,
+    // Obj.h:30-45: no division by the branch probability)
     double pd = (m.diff.x + m.diff.y + m.diff.z) / 3;
     double pl = (m.refl.x + m.refl.y + m.refl.z) / 3;
     double pr = (m.refr.x + m.refr.y + m.refr.z) / 3;
-    double r = rng.uni() * (pd + pl + pr);
     if (pd + pl + pr <= 0) return;
-    V3 col = m.isDiff() ? m.diff : (m.isRefl() ? m.refl : m.refr);
+    double r = rng.uni() * (pd + pl + pr);
+    V3 nf = col.mul(flux);
     if (r < pd) {
-      photonTrace(h.p, rng.cosine(h.n), col.mul(flux), dep + 1);
+      photonTrace(h.p, rng.cosine(h.n), nf, dep + 1);
     } else if (r < pd + pl) {
-      photonTrace(h.p, (d - h.n * (2 * d.dot(h.n))).unit(), col.mul(flux), dep + 1);
+      photonTrace(h.p, (d - h.n * (2 * d.dot(h.n))).unit(), nf, dep + 1);
     } else {
       double eta = h.inside ? m.refrn : 1.0 / m.refrn;
       V3 n = h.inside ? h.n * -1.0 : h.n;
@@ -326,18 +359,28 @@ struct Tracer {
       double cr2 = 1 - (1 - ci * ci) * eta * eta;
       V3 nd = cr2 > EPS ? (d * eta + n * (eta * ci - std::sqrt(cr2))).unit()
                         : (d - n * (2 * d.dot(n))).unit();
-      photonTrace(h.p, nd, col.mul(flux), dep + 1);
+      photonTrace(h.p, nd, nf, dep + 1);
     }
   }
 };
+
+static int toInt(double x) {  // Raytracer.h:24-26 tone map
+  double v = std::pow(1.0 - std::exp(-std::max(x, 0.0)), 1.0 / 2.2);
+  return int(std::min(255.0, std::floor(v * 255.0 + 0.5)));
+}
 
 int main(int argc, char** argv) {
   const char* bpt = argc > 1 ? argv[1] : "assets/teapot.bpt";
   int res = argc > 2 ? std::atoi(argv[2]) : 512;
   int rounds = argc > 3 ? std::atoi(argv[3]) : 200;   // rounds of 100 photons
   int threads = argc > 4 ? std::atoi(argv[4]) : 4;
+  const char* dump = argc > 5 ? argv[5] : nullptr;
 
   Scene sc;
+  // The reference scene object list (Scene.h:116-157): 5 planes (left red,
+  // right blue, back MIRROR, bottom, top), mirror + glass + diffuse spheres,
+  // 32-patch teapot.  Colors = the flat per-object colors our scenes.full
+  // uses when textures are disabled (Obj.h GetColor without texture).
   sc.planes = {{{1, 40.8, 81.6}, {1, 0, 0}},  {{99, 40.8, 81.6}, {1, 0, 0}},
                {{50, 40.8, 0}, {0, 0, 1}},    {{50, 0, 81.6}, {0, -1, 0}},
                {{50, 81.6, 81.6}, {0, 1, 0}}};
@@ -346,6 +389,10 @@ int main(int argc, char** argv) {
   Mat MI{{}, {0.999, 0.999, 0.999}, {}, 0};
   Mat RF{{}, {}, {0.999, 0.999, 0.999}, 1.5};
   sc.mats = {WD, WD, MI, WD, WD, MI, RF, WD, WD};
+  sc.cols = {{0.75, 0.25, 0.25}, {0.25, 0.25, 0.75}, {0.75, 0.75, 0.75},
+             {0.75, 0.75, 0.75}, {0.75, 0.75, 0.75},
+             {0.999, 0.999, 0.999}, {0.999, 0.999, 0.999},
+             {0.999, 0.999, 0.999}, {0.0, 0.999, 0.999}};
 
   // teapot.bpt with the reference placement: scale 4, swap-yz + rotY(90), +C
   std::ifstream f(bpt);
@@ -384,14 +431,18 @@ int main(int argc, char** argv) {
   for (int y = 0; y < res; y++)
     for (int x = 0; x < res; x++) {
       V3 d = (du * ((x + 0.5) / res - 0.5) + dv * ((y + 0.5) / res - 0.5) + fwd).unit();
-      tr.eyeTrace(cpos, d, {1, 1, 1}, 0);
+      tr.eyeTrace(cpos, d, {1, 1, 1}, 0, y * res + x);
     }
   auto t1 = std::chrono::steady_clock::now();
   tr.grid.build(tr.hps);
 
   // photon phase: `rounds` rounds x 100 photons, over `threads` independent
   // tracers like the reference's 4 OpenMP threads (each owns its state).
+  // Per-thread tao accumulators merge at the end (the reference's serial
+  // canvas merge, Raytracer.h:449-458, hoisted to hit-point granularity).
   long totalPhotons = 0;
+  size_t H = tr.hps.size();
+  std::vector<double> taoSum(H * 3, 0.0);
   auto t2 = std::chrono::steady_clock::now();
 #ifdef _OPENMP
   omp_set_num_threads(threads);
@@ -417,8 +468,42 @@ int main(int argc, char** argv) {
         hp.newN = 0;
       }
     }
+#pragma omp critical
+    for (size_t i = 0; i < H; i++) {
+      taoSum[3 * i + 0] += local.hps[i].tao[0];
+      taoSum[3 * i + 1] += local.hps[i].tao[1];
+      taoSum[3 * i + 2] += local.hps[i].tao[2];
+    }
   }
   auto t3 = std::chrono::steady_clock::now();
+
+  if (dump) {
+    // Linear radiance estimate (Raytracer.h:281-294): pic[px] +=
+    // tao / (pi r^2 totalPhotons); radii never shrank (dead-code update).
+    std::vector<float> pic(size_t(res) * res * 3, 0.0f);
+    for (size_t i = 0; i < H; i++) {
+      const HitPoint& hp = tr.hps[i];
+      double s = 1.0 / (3.14159265358979 * hp.r2 * double(totalPhotons));
+      pic[3 * size_t(hp.px) + 0] += float(taoSum[3 * i + 0] * s);
+      pic[3 * size_t(hp.px) + 1] += float(taoSum[3 * i + 1] * s);
+      pic[3 * size_t(hp.px) + 2] += float(taoSum[3 * i + 2] * s);
+    }
+    std::ofstream o(dump, std::ios::binary);
+    o.write(reinterpret_cast<const char*>(pic.data()),
+            std::streamsize(pic.size() * sizeof(float)));
+    o.close();
+    std::string ppm = std::string(dump) + ".ppm";
+    std::ofstream po(ppm, std::ios::binary);
+    po << "P6\n" << res << " " << res << "\n255\n";
+    for (int y = res - 1; y >= 0; y--)   // vertical flip on write (Raytracer.h:467)
+      for (int x = 0; x < res; x++) {
+        size_t i = 3 * (size_t(y) * res + x);
+        unsigned char rgb[3] = {(unsigned char)toInt(pic[i]),
+                                (unsigned char)toInt(pic[i + 1]),
+                                (unsigned char)toInt(pic[i + 2])};
+        po.write(reinterpret_cast<const char*>(rgb), 3);
+      }
+  }
 
   double eye_s = std::chrono::duration<double>(t1 - t0).count();
   double photon_s = std::chrono::duration<double>(t3 - t2).count();

@@ -147,9 +147,12 @@ def _make_sharded_loss(scene: Scene, cfg: RenderConfig, mesh, camera_pose,
     dep_fn = deposit_fn or deposit_bruteforce_vjp
 
     def loss_fn(params, key, target):
-        s = inject_params(scene, params)
-
-        def body(org_s, dir_s):
+        # params/key/target enter through in_specs (replicated) rather than
+        # closure capture: explicitly-sharded global inputs (multi-host) that
+        # are captured inside the Manual shard_map context trip the
+        # Auto-vs-Manual mesh check in sharding-in-types propagation.
+        def body(params, key, target, org_s, dir_s):
+            s = inject_params(scene, params)
             # Each pass-group minimises the loss of its own jittered-key
             # sample (the reference's 4 parallel passes, Raytracer.h:442);
             # group losses pmean over the pass axis, so parameter gradients
@@ -177,8 +180,9 @@ def _make_sharded_loss(scene: Scene, cfg: RenderConfig, mesh, camera_pose,
             return jax.lax.pmean(loss, PASS_AXIS)
 
         return jax.shard_map(
-            body, mesh=mesh, in_specs=(P(PHOTON_AXIS), P(PHOTON_AXIS)),
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(PHOTON_AXIS), P(PHOTON_AXIS)),
             out_specs=P(), check_vma=False,
-        )(org, dir)
+        )(params, key, target, org, dir)
 
     return loss_fn

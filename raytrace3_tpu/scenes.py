@@ -204,9 +204,20 @@ def cornell_two_lights(atlas_res: int = 64) -> Scene:
     )
 
 
+def full_flat(atlas_res: int = 16, bezier_uv_quirk: bool = True) -> Scene:
+    """The full reference scene with ALL textures disabled (every object uses
+    its flat Obj color, the GetColor-without-texture path, Obj.h:86-88).
+    This is the cross-validation scene: native/baseline_sppm.cpp implements
+    exactly this object/material/color list, so the two renderers estimate
+    the same integral and can be compared statistically (scripts/crossval.py)."""
+    s = full(atlas_res=atlas_res, bezier_uv_quirk=bezier_uv_quirk)
+    return s.replace(obj_tex=jnp.full((9,), -1, jnp.int32))
+
+
 teapot = full
 
 REGISTRY = {
+    "full_flat": full_flat,
     "cornell_two_lights": cornell_two_lights,
     "cornell_diffuse": cornell_diffuse,
     "cornell_specular": cornell_specular,
