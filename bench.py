@@ -143,14 +143,19 @@ def main() -> int:
     print(f"bench: compile+first pass {compile_s:.1f}s; timing ...",
           file=sys.stderr, flush=True)
 
-    # timed passes (each is rounds x photons -> per-call dispatch overhead
-    # through the remote-TPU tunnel is amortised inside one call)
+    # timed passes: dispatch all passes WITHOUT touching their outputs —
+    # float(stats[...]) inside the loop forces a per-pass device->host
+    # round trip through the remote tunnel (~0.3 s of pure latency per
+    # pass, measured); read everything after the final pass completes.
     t0 = time.perf_counter()
-    emitted = 0.0
+    emitted_acc = []
     for i in range(n_timed):
         img, stats = fn(jax.random.fold_in(key, i + 1))
-        emitted += float(stats["photons_emitted"])
+        emitted_acc.append(stats["photons_emitted"])
     jax.block_until_ready(img)
+    # device_get of a scalar forces full completion (CLAUDE.md: on the
+    # tunnel block_until_ready alone can return early).
+    emitted = sum(float(jax.device_get(e)) for e in emitted_acc)
     dt = (time.perf_counter() - t0) / n_timed
     emitted /= n_timed
 

@@ -172,8 +172,16 @@ class PallasDeposit:
         offsets = jnp.concatenate(
             [jnp.zeros((1,), padded.dtype), jnp.cumsum(padded)[:-1]]
         )
-        first_idx = jnp.searchsorted(kx_sorted, kx_sorted)
-        dest = offsets[kx_sorted] + (jnp.arange(C) - first_idx)
+        # Rank within the bucket run: first_idx[i] = index of the first
+        # element sharing kx_sorted[i].  A cummax over run starts is O(C)
+        # elementwise; searchsorted(kx_sorted, kx_sorted) here profiled at
+        # 46 ms/pass (binary search = log2(C) serialized gathers).
+        i_arange = jnp.arange(C, dtype=jnp.int32)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), kx_sorted[1:] != kx_sorted[:-1]]
+        )
+        first_idx = jax.lax.cummax(jnp.where(is_start, i_arange, 0))
+        dest = offsets[kx_sorted] + (i_arange - first_idx)
 
         c_pad = self._c_pad(C)
         packed = jnp.full((c_pad, 8), FAR, jnp.float32)
