@@ -120,7 +120,15 @@ def main() -> int:
     from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
     wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
     work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
-    deposit_fn = PallasDeposit(tile=512, wchunk=wchunk, work_cap=work_cap,
+    dep_tile = int(os.environ.get("RT3_BENCH_DEPTILE", "512"))
+    dep_2d = os.environ.get("RT3_BENCH_DEP2D", "0") == "1"
+    # 1-D banding measured fastest (scripts/perf_deposit_sweep.py): 2-D
+    # (x, z) bucketing cuts the PAIR volume ~10x but needs ~9 windows per
+    # tile whose wchunk-block ceilings inflate the work list past any
+    # reasonable cap — grid-step overhead eats the win.  Kept as an option.
+    deposit_fn = PallasDeposit(tile=dep_tile, wchunk=wchunk,
+                               work_cap=work_cap, bucket2d=dep_2d,
+                               x_lo=-4.0, x_hi=104.0, z_lo=-4.0, z_hi=184.0,
                                interpret=backend != "tpu")
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas

@@ -100,7 +100,12 @@ def main(argv=None) -> int:
         from .ops.deposit_pallas import PallasDeposit
         # Overflow of the bounded work list is reported unconditionally and
         # folded into the deposits_dropped stat (never silent flux loss).
+        # Size the work cap with the canvas: the list holds >= 1 item per
+        # hit-point tile plus the candidate deposit blocks (~3 windows x
+        # ~1-2 blocks per occupied tile at reference density).
+        n_tiles_est = cfg.hitpoint_capacity // 512 + 96
         deposit_fn = PallasDeposit(
+            work_cap=max(16384, 6 * n_tiles_est),
             interpret=_jax.default_backend() != "tpu"
         )
 

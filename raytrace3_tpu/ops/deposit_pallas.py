@@ -10,15 +10,23 @@ hierarchy is now: ``render/deposit.py`` bruteforce (the O(C x D) MXU oracle,
 always exact), ``ops/grid.py`` (sorted uniform grid, large-canvas default),
 and this kernel (fastest measured on the v5e).
 
-Layout (two-key banding):
-  * key = x_bucket * KEY_STRIDE + y with bucket width 2r, both sides sorted;
+Layout (banded keys):
+  * key = bucket_id * Y_STRIDE + quantized(y), with bucket width 2r along
+    the x axis (``bucket2d=False``) or along BOTH x and z (``bucket2d=True``
+    — bucket_id = kx * n_bz + kz).  Keys are int32 with y quantized to 1/8
+    unit and CONSERVATIVE floor/ceil window bounds, so no fp key-resolution
+    margin is needed and exactness is preserved (windows are supersets; the
+    in-kernel d2/r2/normal test is the true filter);
   * hit points live in a BUCKET-ALIGNED, tile-padded layout so every tile of
     ``tile`` consecutive slots belongs to exactly one bucket — this layout
     depends only on positions and is built ONCE PER PASS (``prepare``), not
     per photon round;
-  * a tile's neighbours lie in buckets {kb-1, kb, kb+1} within the tile's
-    y-range +/- r: three EXACT deposit-lane intervals per tile, found by
-    searchsorted against this round's sorted deposit keys.
+  * a tile's neighbours lie in the 3 (1D) or 9 (2D) adjacent buckets within
+    the tile's y-range +/- r: K EXACT deposit-lane intervals per tile, found
+    by searchsorted against this round's sorted deposit keys.  2D bucketing
+    shrinks the candidate volume by ~the z-extent / 2r ratio (the 1D window
+    spans ALL z); z-boundary bucket wraparound only ever ADDS candidates
+    (killed by the exact distance test), never drops one.
 
 Work list: each tile's intervals are block-aligned (``wchunk`` lanes),
 disjoint-ified at block granularity, and flattened into a single work array
@@ -51,16 +59,21 @@ from ..render.deposit import NORMAL_DOT_MIN
 
 #: Reference fixed search radius^2 = 2.0 (Raytracer.h:85).
 SEARCH_R = math.sqrt(2.0)
-#: Key stride must exceed the scene's coordinate extent along the y key.
-KEY_STRIDE = 4096.0
-#: Static scene bounds along the bucket axis (reference scene fits easily).
+#: Static scene bounds along the bucket axes (reference scene fits easily).
 DEFAULT_X_LO = -40.0
 DEFAULT_X_HI = 200.0
+DEFAULT_Z_LO = -40.0
+DEFAULT_Z_HI = 200.0
 
 #: Sentinel position for invalid/padding deposit lanes (fails any d2 test).
 FAR = 1e9
-#: Key-margin absorbing fp32 key quantisation (resolution ~0.03 at key~4e5).
-KEY_EPS = 0.05
+#: Sort-key y quantisation: 1/8 scene unit over [Y_LO, Y_HI).  int32 keys
+#: with floor/ceil window bounds are exactly conservative — no fp margin.
+Y_LO = -40.0
+Y_HI = 240.0
+YQ = 8.0
+Y_RANGE = int((Y_HI - Y_LO) * YQ)          # 2240 quanta
+Y_STRIDE = Y_RANGE + 2
 
 
 @flax.struct.dataclass
@@ -130,7 +143,9 @@ class PallasDeposit:
     def __init__(self, tile: int = 512, wchunk: int = 1024,
                  work_cap: int = 8192, axes=(0, 1),
                  search_r: float = SEARCH_R, x_lo: float = DEFAULT_X_LO,
-                 x_hi: float = DEFAULT_X_HI, interpret: bool = False):
+                 x_hi: float = DEFAULT_X_HI, interpret: bool = False,
+                 bucket2d: bool = False, z_axis: int = 2,
+                 z_lo: float = DEFAULT_Z_LO, z_hi: float = DEFAULT_Z_HI):
         self.tile = tile
         self.wchunk = wchunk
         self.work_cap = work_cap
@@ -138,29 +153,63 @@ class PallasDeposit:
         self.search_r = search_r
         self.bucket = 2.0 * search_r
         self.x_lo = x_lo
-        self.n_buckets = int(math.ceil((x_hi - x_lo) / self.bucket)) + 1
+        self.n_bx = int(math.ceil((x_hi - x_lo) / self.bucket)) + 1
+        self.bucket2d = bucket2d
+        self.az = z_axis
+        self.z_lo = z_lo
+        self.n_bz = (int(math.ceil((z_hi - z_lo) / self.bucket)) + 1
+                     if bucket2d else 1)
+        self.n_buckets = self.n_bx * self.n_bz
+        # Window bucket-id offsets, ascending (key order): 1D = the x
+        # neighbours; 2D = the 3x3 (x, z) neighbourhood.  A kz at the z
+        # boundary wraps into a real (kx+-1, *) bucket — that only ADDS
+        # candidate lanes (the exact d2 test rejects them), never drops one.
+        if bucket2d:
+            self.win_offs = [dx * self.n_bz + dz
+                             for dx in (-1, 0, 1) for dz in (-1, 0, 1)]
+        else:
+            self.win_offs = [-1, 0, 1]
         self.interpret = interpret
 
     # -- helpers -----------------------------------------------------------
-    def _kx(self, pos):
-        return jnp.clip(
+    def _bid(self, pos):
+        """Combined bucket id per row of ``pos``."""
+        kx = jnp.clip(
             jnp.floor((pos[:, self.ax] - self.x_lo) / self.bucket)
             .astype(jnp.int32),
-            0, self.n_buckets - 1,
+            0, self.n_bx - 1,
         )
+        if not self.bucket2d:
+            return kx
+        kz = jnp.clip(
+            jnp.floor((pos[:, self.az] - self.z_lo) / self.bucket)
+            .astype(jnp.int32),
+            0, self.n_bz - 1,
+        )
+        return kx * self.n_bz + kz
+
+    def _yq(self, y):
+        """Quantized sort coordinate (floor -> conservative with ceil hi)."""
+        return jnp.clip(jnp.floor((y - Y_LO) * YQ).astype(jnp.int32),
+                        0, Y_RANGE - 1)
 
     def _c_pad(self, C: int) -> int:
         t = self.tile
         return ((C + t - 1) // t) * t + (self.n_buckets + 1) * t
+
+    def _sentinel_key(self) -> int:
+        """Key for invalid deposit lanes: beyond every window, including
+        windows of the sentinel hit-point bucket and wrapped neighbours."""
+        return (self.n_buckets + self.n_bz + 2) * Y_STRIDE
 
     # -- once per pass -----------------------------------------------------
     def prepare(self, hp: HitPoints) -> HpLayout:
         t = self.tile
         C = hp.capacity
         nb = self.n_buckets
-        hkx = jnp.where(hp.valid, self._kx(hp.pos), nb)
-        hkey = hkx.astype(jnp.float32) * KEY_STRIDE + jnp.where(
-            hp.valid, hp.pos[:, self.ay], 0.0
+        hkx = jnp.where(hp.valid, self._bid(hp.pos), nb)
+        hkey = hkx * Y_STRIDE + jnp.where(
+            hp.valid, self._yq(hp.pos[:, self.ay]), 0
         )
         # one variadic sort: permutation + bucket ids, no re-gather
         _, h_ord, kx_sorted = jax.lax.sort(
@@ -200,22 +249,27 @@ class PallasDeposit:
         slot_kx = jnp.zeros((c_pad,), jnp.int32).at[dest].set(
             kx_sorted, mode="drop"
         )
-        kb = jnp.max(slot_kx.reshape(n_tiles, t), axis=1).astype(jnp.float32)
+        kb = jnp.max(slot_kx.reshape(n_tiles, t), axis=1)
 
         tv = jnp.zeros((c_pad,), bool).at[dest].set(
             hp.valid[h_ord], mode="drop"
         ).reshape(n_tiles, t)
         ty = packed[:, self.ay].reshape(n_tiles, t)
-        y_lo = jnp.where(tv, ty, jnp.inf).min(1) - self.search_r - KEY_EPS
-        y_hi = jnp.where(tv, ty, -jnp.inf).max(1) + self.search_r + KEY_EPS
+        y_lo = jnp.where(tv, ty, jnp.inf).min(1) - self.search_r
+        y_hi = jnp.where(tv, ty, -jnp.inf).max(1) + self.search_r
+        dead1 = ~jnp.isfinite(y_lo)
+        # Conservative quantized window bounds: floor for lo, ceil for hi.
+        ylo_q = jnp.clip(jnp.floor((y_lo - Y_LO) * YQ), -1e9, Y_RANGE).astype(
+            jnp.int32)
+        yhi_q = jnp.clip(jnp.ceil((y_hi - Y_LO) * YQ), -1e9, Y_RANGE).astype(
+            jnp.int32)
 
-        offs = jnp.asarray([-1.0, 0.0, 1.0])
-        lo_keys = (kb[:, None] + offs[None, :]) * KEY_STRIDE + y_lo[:, None]
-        hi_keys = (kb[:, None] + offs[None, :]) * KEY_STRIDE + y_hi[:, None]
-        dead = ~jnp.isfinite(lo_keys) | ~jnp.isfinite(hi_keys)
-        big = (self.n_buckets + 3) * KEY_STRIDE
-        lo_keys = jnp.where(dead, big, lo_keys)
-        hi_keys = jnp.where(dead, big, hi_keys)
+        offs = jnp.asarray(self.win_offs, jnp.int32)
+        lo_keys = (kb[:, None] + offs[None, :]) * Y_STRIDE + ylo_q[:, None]
+        hi_keys = (kb[:, None] + offs[None, :]) * Y_STRIDE + yhi_q[:, None]
+        big = self._sentinel_key() + Y_STRIDE
+        lo_keys = jnp.where(dead1[:, None], big, lo_keys)
+        hi_keys = jnp.where(dead1[:, None], big, hi_keys)
         # hp-id -> layout slot, so per-round r2 refresh and result unpacking
         # are ONE scatter / ONE gather instead of permutation chains.
         g = jnp.zeros((C,), dest.dtype).at[h_ord].set(dest)
@@ -246,9 +300,8 @@ class PallasDeposit:
         n_blocks = Dp // wc
         dkey = jnp.where(
             dep.valid,
-            self._kx(dep.pos).astype(jnp.float32) * KEY_STRIDE
-            + dep.pos[:, self.ay],
-            (self.n_buckets + 2) * KEY_STRIDE,
+            self._bid(dep.pos) * Y_STRIDE + self._yq(dep.pos[:, self.ay]),
+            self._sentinel_key(),
         )
         # ONE sort yields both the sorted keys and the permutation —
         # argsort + dkey[d_ord] re-gathered the keys at 27.7 ms/round
@@ -270,23 +323,27 @@ class PallasDeposit:
         dep_packed = jax.lax.dynamic_update_slice(dep_packed, rows.T, (0, 0))
 
         # ---- exact per-tile lane intervals -> disjoint block intervals ----
+        K = len(self.win_offs)
         s_lane = jnp.searchsorted(dkeys, prep.lo_keys.reshape(-1),
-                                  side="left").reshape(n_tiles, 3)
+                                  side="left").reshape(n_tiles, K)
         e_lane = jnp.searchsorted(dkeys, prep.hi_keys.reshape(-1),
-                                  side="right").reshape(n_tiles, 3)
+                                  side="right").reshape(n_tiles, K)
         sb = s_lane // wc
         eb = (e_lane + wc - 1) // wc
         sb = jnp.where(e_lane > s_lane, sb, 0)
         eb = jnp.where(e_lane > s_lane, eb, 0)
-        # windows are key-ordered (bucket kb-1 < kb < kb+1): disjoint-ify
-        e0 = eb[:, 0]
-        s1 = jnp.maximum(sb[:, 1], e0)
-        e1 = jnp.maximum(eb[:, 1], s1)
-        s2 = jnp.maximum(sb[:, 2], e1)
-        e2 = jnp.maximum(eb[:, 2], s2)
-        s012 = jnp.stack([sb[:, 0], s1, s2], 1)
-        nc = jnp.stack([e0 - sb[:, 0], e1 - s1, e2 - s2], 1)
-        nc = jnp.maximum(nc, 0)
+        # windows are key-ordered (win_offs ascending): disjoint-ify the K
+        # block intervals by cascading each start past the previous end
+        prev_e = jnp.zeros((n_tiles,), sb.dtype)
+        s_cols, n_cols = [], []
+        for k in range(K):
+            s_k = jnp.maximum(sb[:, k], prev_e)
+            e_k = jnp.maximum(eb[:, k], s_k)
+            s_cols.append(s_k)
+            n_cols.append(e_k - s_k)
+            prev_e = e_k
+        s_win = jnp.stack(s_cols, 1)                        # (n_tiles, K)
+        nc = jnp.maximum(jnp.stack(n_cols, 1), 0)
         nc_tile = nc.sum(1)                                 # (n_tiles,)
 
         items = jnp.maximum(nc_tile, 1)  # >=1 so every out tile initialises
@@ -298,13 +355,19 @@ class PallasDeposit:
         wt = jnp.minimum(wt, n_tiles - 1)
         base = cum[wt] - items[wt]
         j = s_idx - base
-        c01 = nc[wt, 0]
-        c012 = c01 + nc[wt, 1]
-        blk = jnp.where(
-            j < c01, s012[wt, 0] + j,
-            jnp.where(j < c012, s012[wt, 1] + (j - c01),
-                      s012[wt, 2] + (j - c012)),
+        # which window of the item's tile does offset j fall in?
+        ncc = jnp.cumsum(nc, axis=1)                        # (n_tiles, K)
+        ncc_w = ncc[wt]                                     # (W, K)
+        w_id = jnp.sum((j[:, None] >= ncc_w).astype(jnp.int32), axis=1)
+        w_id = jnp.minimum(w_id, K - 1)
+        prev_cnt = jnp.where(
+            w_id > 0,
+            jnp.take_along_axis(ncc_w, jnp.maximum(w_id - 1, 0)[:, None],
+                                axis=1)[:, 0],
+            0,
         )
+        blk = (jnp.take_along_axis(s_win[wt], w_id[:, None], axis=1)[:, 0]
+               + (j - prev_cnt))
         compute = (s_idx < total) & (j < nc_tile[wt])
         blk = jnp.clip(blk, 0, n_blocks - 1)
         # pad items: freeze tile/block at the last real item's values so the

@@ -89,10 +89,16 @@ PRESETS = {
     ),
     # The reference's own converged workload: 1024x1024 canvas
     # (Camera.h:16-17), ~50M photons total (README.md:349), jittered passes.
+    # Execution path = the bench-tuned one (Pallas deposit + Newton, photon
+    # regen, staged eye wavefront); hitpoint_factor 1.3 measured sufficient
+    # at 512^2 (~0.99 hit points per pixel in the full scene).
     "reference1024": RenderConfig(
         scene="full", width=1024, height=1024, passes=50,
-        rounds=8, photons_per_round=131072, deposit="grid",
-        deposit_compact_frac=0.4, checkpoint_every=5,
+        rounds=8, photons_per_round=131072, deposit="pallas",
+        use_pallas=True, photon_regen=True, hitpoint_factor=1.3,
+        bezier_compact_frac=0.09, bezier_compact_frac_photon=0.05,
+        eye_compact_schedule=((1, 0.25), (4, 0.04), (6, 0.02)),
+        checkpoint_every=5,
     ),
 }
 

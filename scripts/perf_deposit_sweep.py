@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""A/B sweep of PallasDeposit configurations at bench shapes.
+
+Times the FULL per-round deposit call (sort + work list + kernel + unpack)
+for several (bucket2d, tile, wchunk, work_cap) configurations on inputs
+distributed like the reference scene (points on the box walls/floor and
+sphere surfaces, not uniform volume — window volumes and therefore the
+candidate workload depend on the surface clustering).
+
+Usage: python scripts/perf_deposit_sweep.py  (RT3_SWEEP=i,j,... to subset)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def scene_points(rng, n):
+    """Points on the reference scene's surfaces (Scene.h:116-156 geometry)."""
+    kind = rng.integers(0, 6, n)
+    p = np.zeros((n, 3), np.float32)
+    u, v = rng.uniform(0, 1, n), rng.uniform(0, 1, n)
+    p[kind == 0] = np.stack([np.full((kind == 0).sum(), 1.0),
+                             u[kind == 0] * 81.6, v[kind == 0] * 170],
+                            1)  # left wall
+    p[kind == 1] = np.stack([np.full((kind == 1).sum(), 99.0),
+                             u[kind == 1] * 81.6, v[kind == 1] * 170], 1)
+    m = kind == 2  # floor (the caustics surface - heaviest)
+    p[m] = np.stack([u[m] * 98 + 1, np.zeros(m.sum()), v[m] * 170], 1)
+    m = kind == 3  # ceiling
+    p[m] = np.stack([u[m] * 98 + 1, np.full(m.sum(), 81.6), v[m] * 170], 1)
+    m = kind == 4  # back wall
+    p[m] = np.stack([u[m] * 98 + 1, v[m] * 81.6, np.zeros(m.sum())], 1)
+    m = kind == 5  # sphere-ish cluster near the glass sphere
+    th, ph = u[m] * np.pi, v[m] * 2 * np.pi
+    p[m] = np.stack([73 + 16.5 * np.sin(th) * np.cos(ph),
+                     16.5 + 16.5 * np.cos(th),
+                     88 + 16.5 * np.sin(th) * np.sin(ph)], 1)
+    return p
+
+
+def main() -> int:
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    from raytrace3_tpu.core.types import Deposits, make_hitpoints
+    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+
+    segs, N = 14, 131072
+    D = segs * N
+    C = int(512 * 512 * 1.3)
+    rng = np.random.default_rng(0)
+
+    dep = Deposits(
+        pos=jnp.asarray(scene_points(rng, D)),
+        n=jnp.asarray(rng.normal(size=(D, 3)).astype(np.float32)),
+        flux=jnp.asarray(rng.uniform(0, 1, (D, 3)).astype(np.float32)),
+        valid=jnp.asarray(rng.uniform(size=D) < 0.8),
+    )
+    hp = make_hitpoints(C, 2.0, jnp.float32)
+    hp = hp.replace(pos=jnp.asarray(scene_points(rng, C)),
+                    valid=jnp.ones((C,), bool))
+
+    bounds = dict(x_lo=-4.0, x_hi=104.0, z_lo=-4.0, z_hi=184.0)
+    configs = [
+        ("1d_t512_wc1024_W16k", dict(tile=512, wchunk=1024, work_cap=16384)),
+        ("2d_t256_wc512_W32k", dict(tile=256, wchunk=512, work_cap=32768,
+                                    bucket2d=True, **bounds)),
+        ("2d_t256_wc512_W12k", dict(tile=256, wchunk=512, work_cap=12288,
+                                    bucket2d=True, **bounds)),
+        ("2d_t512_wc512_W8k", dict(tile=512, wchunk=512, work_cap=8192,
+                                   bucket2d=True, **bounds)),
+        ("2d_t256_wc1024_W8k", dict(tile=256, wchunk=1024, work_cap=8192,
+                                    bucket2d=True, **bounds)),
+        ("1d_t256_wc512_W16k", dict(tile=256, wchunk=512, work_cap=16384)),
+    ]
+    sel = os.environ.get("RT3_SWEEP")
+    if sel:
+        keep = {int(i) for i in sel.split(",")}
+        configs = [c for i, c in enumerate(configs) if i in keep]
+
+    print(f"# D={D} C={C} backend={jax.default_backend()}", file=sys.stderr,
+          flush=True)
+    for name, kw in configs:
+        depo = PallasDeposit(interpret=jax.default_backend() != "tpu", **kw)
+        try:
+            prep = jax.jit(depo.prepare)(hp)
+            jax.block_until_ready(prep)
+            call = jax.jit(lambda h, d, p=prep, f=depo: f(h, d, prep=p))
+            out = call(hp, dep)
+            _sync(out)
+            t0 = time.perf_counter()
+            _sync(out)
+            rtt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_rep = 8
+            for _ in range(n_rep):
+                out = call(hp, dep)
+            _sync(out)
+            dt = (time.perf_counter() - t0 - rtt) / n_rep
+            ovf = int(jax.device_get(out[2]))
+            nb = depo.n_buckets
+            n_tiles = depo._c_pad(C) // depo.tile
+            print(json.dumps({"cfg": name, "ms": round(dt * 1e3, 2),
+                              "overflow": ovf, "n_tiles": n_tiles,
+                              "n_buckets": nb}), flush=True)
+        except Exception as e:
+            print(json.dumps({"cfg": name, "error": str(e)[:200]}),
+                  flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -52,7 +52,11 @@ def build_pass_fn():
     newton_fn = make_newton_pallas(iters=cfg.newton_iters, restarts=restarts)
     wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
     work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
-    deposit_fn = PallasDeposit(tile=512, wchunk=wchunk, work_cap=work_cap)
+    dep_tile = int(os.environ.get("RT3_BENCH_DEPTILE", "512"))
+    dep_2d = os.environ.get("RT3_BENCH_DEP2D", "0") == "1"
+    deposit_fn = PallasDeposit(tile=dep_tile, wchunk=wchunk,
+                               work_cap=work_cap, bucket2d=dep_2d,
+                               x_lo=-4.0, x_hi=104.0, z_lo=-4.0, z_hi=184.0)
     base = np.array([50.0, 35.0, 230.0])
     look = base + np.array([0.0, 0.042612, -1.0])
     return make_pass_fn(scene, cfg, base, look, deposit_fn=deposit_fn,
@@ -60,36 +64,54 @@ def build_pass_fn():
 
 
 def dump_top_ops(logdir: str, top_n: int):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    """Aggregate device-op time from the Chrome-format trace.json.gz, by op
+    name AND by source file:line (the tensorflow xplane protos are not
+    available in this image; the Chrome trace carries the same args)."""
+    import collections
+    import gzip
 
-    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
-        print("no xplane capture found (device tracing unsupported here?)",
+        print("no trace capture found (device tracing unsupported here?)",
               file=sys.stderr)
         return
-    for path in paths:
-        xs = xplane_pb2.XSpace()
-        with open(path, "rb") as f:
-            xs.ParseFromString(f.read())
-        for plane in xs.planes:
-            if "TPU" not in plane.name and "device" not in plane.name.lower():
+    for path in sorted(paths)[-1:]:
+        with gzip.open(path) as f:
+            d = json.load(f)
+        pids, tids = {}, {}
+        for e in d["traceEvents"]:
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pids[e["pid"]] = e["args"].get("name", "")
+            if e.get("ph") == "M" and e.get("name") == "thread_name":
+                tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
+        by_op = collections.Counter()
+        by_src = collections.Counter()
+        n_op = collections.Counter()
+        for e in d["traceEvents"]:
+            if e.get("ph") != "X":
                 continue
-            meta = {m.id: m.name for m in plane.event_metadata.values()}
-            total = {}
-            for line in plane.lines:
-                for ev in line.events:
-                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                    total[name] = total.get(name, 0) + ev.duration_ps
-            if not total:
+            if "TPU" not in pids.get(e["pid"], ""):
                 continue
-            items = sorted(total.items(), key=lambda kv: -kv[1])[:top_n]
-            grand = sum(total.values())
-            print(f"== plane: {plane.name} (total {grand/1e12:.3f}s summed)")
-            for name, ps in items:
-                print(json.dumps({"op": name[:120],
-                                  "ms": round(ps / 1e9, 2),
-                                  "pct": round(100 * ps / grand, 1)}))
+            if "XLA Ops" not in tids.get((e["pid"], e.get("tid")), ""):
+                continue
+            name = e["name"]
+            if name.split(".")[0] == "while":
+                continue  # nests its children; avoid double counting
+            dur = e.get("dur", 0)
+            by_op[name] += dur
+            n_op[name] += 1
+            by_src[e.get("args", {}).get("source", "?")] += dur
+        grand = sum(by_op.values())
+        print(f"== {path}: {grand/1e6:.3f}s device op time (ex-while)")
+        print("-- by source line:")
+        for src, us in by_src.most_common(top_n):
+            print(json.dumps({"src": src.replace("/root/repo/", ""),
+                              "ms": round(us / 1e3, 2)}))
+        print("-- by op:")
+        for name, us in by_op.most_common(top_n):
+            print(json.dumps({"op": name[:80], "ms": round(us / 1e3, 2),
+                              "n": n_op[name]}))
 
 
 def main() -> int:

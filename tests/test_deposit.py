@@ -210,3 +210,40 @@ def test_pallas_deposit_overflow_is_reported(rng):
                             interpret=True)
     cnt, _, ovf = pd_tiny(hp, dep)
     assert int(ovf) > 0  # the cap clipped real candidate work, loudly
+
+
+def test_pallas_deposit_2d_matches_bruteforce(rng):
+    """2-D (x, z) bucket banding is bit-exact vs the oracle on both the
+    uniform and the adversarial wall distributions (the z-boundary bucket
+    wraparound only adds candidates; the exact d2 test rejects them)."""
+    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+
+    for case, work_cap in ((_random_case(rng, C=400, D=900), 4096),
+                           (_wall_case(rng), 8192)):
+        hp, dep = case
+        pd = PallasDeposit(tile=32, wchunk=128, work_cap=work_cap,
+                           interpret=True, bucket2d=True,
+                           x_lo=-8.0, x_hi=12.0, z_lo=-8.0, z_hi=170.0)
+        bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+        gc, gt, ovf = jax.jit(pd)(hp, dep)
+        assert int(ovf) == 0
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                                   rtol=2e-4, atol=1e-4)
+
+
+def test_pallas_deposit_2d_prepared_reuse(rng):
+    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+
+    hp, dep = _random_case(rng, C=300, D=700)
+    pd = PallasDeposit(tile=32, wchunk=128, work_cap=4096, interpret=True,
+                       bucket2d=True, x_lo=-8.0, x_hi=12.0,
+                       z_lo=-8.0, z_hi=12.0)
+    prep = pd.prepare(hp)
+    for scale in (1.0, 0.7):
+        hp2 = hp.replace(r2=hp.r2 * scale)
+        a = pd(hp2, dep, prep=prep)
+        bc, bt = deposit_bruteforce(hp2, dep)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(bc), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(bt),
+                                   rtol=2e-4, atol=1e-4)
