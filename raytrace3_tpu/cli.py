@@ -89,8 +89,13 @@ def main(argv=None) -> int:
 
     newton_fn = deposit_fn = None
     if cfg.use_pallas:
+        import jax as _jax
+
         from .ops.newton_pallas import make_newton_pallas
-        newton_fn = make_newton_pallas(iters=cfg.newton_iters)
+        newton_fn = make_newton_pallas(
+            iters=cfg.newton_iters,
+            interpret=_jax.default_backend() != "tpu",
+        )
     if cfg.deposit == "grid":
         from .ops.grid import make_grid_deposit
         deposit_fn = make_grid_deposit()
@@ -100,12 +105,17 @@ def main(argv=None) -> int:
         from .ops.deposit_pallas import PallasDeposit
         # Overflow of the bounded work list is reported unconditionally and
         # folded into the deposits_dropped stat (never silent flux loss).
-        # Size the work cap with the canvas: the list holds >= 1 item per
-        # hit-point tile plus the candidate deposit blocks (~3 windows x
-        # ~1-2 blocks per occupied tile at reference density).
-        n_tiles_est = cfg.hitpoint_capacity // 512 + 96
+        # Size tile + work cap with the canvas: at 1024^2 the 512-tile
+        # layout measured ~74k real work items (vs ~6k at 512^2) because
+        # windows shrink slower than tiles multiply; double the tile and
+        # give generous headroom — padding grid steps are cheap, silent
+        # drops are not.
+        # SMEM ceiling: the 3 scalar-prefetch s32[work_cap] arrays must fit
+        # ~1MB -> work_cap <= ~80k.
+        big = cfg.hitpoint_capacity > (1 << 19)
         deposit_fn = PallasDeposit(
-            work_cap=max(16384, 6 * n_tiles_est),
+            tile=1024 if big else 512,
+            work_cap=65536 if big else 16384,
             interpret=_jax.default_backend() != "tpu"
         )
 

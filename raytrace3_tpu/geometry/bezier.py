@@ -246,6 +246,10 @@ def _winner_bwd(solver, res, cots):
                    jnp.where(live, g_v, 0.0)], axis=-1)     # (R, 3) = x_bar
 
     cw = ctrl[pid]                                          # (R, 4, 4, 3)
+    # NB: linearise at the root AS RETURNED by the forward solver — the
+    # cotangents correspond to the forward computation's (t, u, v), so
+    # "polishing" the root here only degrades FD agreement (measured:
+    # 2 extra Newton steps dropped the grad-check rate from 0.89 to 0.70).
     _, su, sv = patch_derivs(cw, u, v)
     # w = J^-T x_bar: solve J^T w = x_bar; rows of J^T are J's columns.
     # J columns: c0 = dir, c1 = -su, c2 = -sv; J^T w = (c0.w, c1.w, c2.w).

@@ -396,6 +396,14 @@ class PallasDeposit:
             interpret=self.interpret,
         )(wt, blk, wcmp, packed, dep_packed)
 
+        # A tile whose FIRST item index falls beyond the work cap never
+        # executes, so its out tile is UNINITIALISED memory — zero those
+        # tiles (their skipped flux is already counted in `overflow`;
+        # without this, an overflowing 1024^2 run read garbage/NaN counts).
+        # jnp.where, not multiply: garbage may be NaN and NaN * 0 = NaN.
+        handled = (cum - items) < W                         # (n_tiles,)
+        out = jnp.where(handled[:, None, None],
+                        out.reshape(n_tiles, t, 8), 0.0).reshape(c_pad, 8)
         res = out[prep.g]                                   # (C, 8) one gather
         cnt = res[:, 0]
         d_tao = hp.wgt * res[:, 1:4] / jnp.pi               # Raytracer.h:156

@@ -150,14 +150,25 @@ def cornell_specular(atlas_res: int = 128) -> Scene:
 
 
 def bezier_patch(atlas_res: int = 128) -> Scene:
-    """Config #3: one bicubic patch (teapot patch 0) over a floor plane."""
+    """Config #3: one bicubic patch + UV texture over a textured floor.
+
+    The patch is teapot BODY quarter 4 (8 x 6 x 8 units at (16, 6.6, 116)) —
+    large and genuinely curved, so eye rays and photons actually interact
+    with it (patch 0, the rim, is a 0.5-unit-thick band that subtends less
+    than a pixel at test resolutions).  The patch carries the non-flat
+    planet texture and the floor the marble texture: control-point
+    gradients flow through the texture-UV chains (the deposit VJP's box
+    kernel is a.e. position-constant by design, diff/vjp.py:13-19), so a
+    scene where every surface is flat-coloured has ZERO d(image)/d(ctrl)
+    almost everywhere — as an honest grad check on an untextured variant
+    would report."""
     planes, spheres = _cornell_geometry()
-    ctrl = _teapot_ctrl()[:1]
+    ctrl = _teapot_ctrl()[4:5]
     mats = [WHITE_DIFF] * 8 + [WHITE_DIFF]
     color = jnp.concatenate(
         [jnp.full((8, 3), 0.75, jnp.float32),
          jnp.asarray([[0.0, 0.999, 0.999]], jnp.float32)])
-    tex = jnp.asarray([-1] * 8 + [3], jnp.int32)
+    tex = jnp.asarray([-1, -1, -1, 1, -1, -1, -1, -1, 2], jnp.int32)
     return Scene(
         planes=planes, spheres=spheres, bezier=BezierObject(ctrl=ctrl),
         materials=_materials(mats), obj_color=color, obj_tex=tex,

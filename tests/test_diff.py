@@ -133,7 +133,14 @@ def test_end_to_end_gradient_ctrl_points_fd(key):
                        rounds=2, photons_per_round=1024, max_depth=4,
                        bezier_compact_frac=1.0)
     scene = build_scene(cfg)
-    render = make_render_fn(scene, cfg)
+    # Aim camera + light at the curved body patch (teapot patch 4 spans
+    # x 12-20, y 3.6-9.6, z 112-120): at the reference pose the patch
+    # subtends almost nothing at 16^2 and the gradient is legitimately ~0.
+    scene = scene.replace(
+        light_pos=jnp.asarray([[10.0, 18.0, 108.0]], jnp.float32))
+    render = make_render_fn(scene, cfg,
+                            camera_pose=((8.0, 8.0, 128.0),
+                                         (16.0, 6.6, 116.0)))
     params = extract_params(scene)
     assert "ctrl" in params
     w = jax.random.uniform(jax.random.key(7), (cfg.n_pixels, 3),
@@ -147,20 +154,30 @@ def test_end_to_end_gradient_ctrl_points_fd(key):
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0, "ctrl gradient is identically zero"
 
-    # FD-check the 3 strongest coordinates (deterministic render given key
-    # -> FD is exact up to f32 roundoff / true silhouette discontinuities).
-    flat = np.argsort(-np.abs(g).ravel())[:3]
-    eps = 2e-2
-    passed = 0
+    # FD-check the strongest coordinates ON THE DIFFERENTIABLE LOCUS: AD
+    # computes the a.e.-derivative, so a coordinate whose +-eps crosses a
+    # hit/miss or Newton-acceptance boundary (one flipped pixel moves FD by
+    # ~pixel/eps, orders of magnitude off ANY eps) is detected by comparing
+    # FD at two eps values and excluded; smooth coordinates must match AD.
+    def fd_at(idx, eps):
+        return (float(loss(dict(params, ctrl=params["ctrl"].at[idx].add(eps))))
+                - float(loss(dict(params,
+                                  ctrl=params["ctrl"].at[idx].add(-eps))))
+                ) / (2 * eps)
+
+    flat = np.argsort(-np.abs(g).ravel())[:6]
+    smooth = passed = 0
     for fi in flat:
         idx = np.unravel_index(int(fi), g.shape)
-        fd = (float(loss(dict(params, ctrl=params["ctrl"].at[idx].add(eps))))
-              - float(loss(dict(params, ctrl=params["ctrl"].at[idx].add(-eps))))
-              ) / (2 * eps)
+        f1, f2 = fd_at(idx, 2e-4), fd_at(idx, 4e-4)
+        if abs(f1 - f2) > 0.25 * max(abs(f1), abs(f2)) + 1e-3:
+            continue  # discontinuity-dominated coordinate
+        smooth += 1
         ad = float(g[idx])
-        if abs(fd - ad) <= 0.2 * max(abs(fd), abs(ad)) + 1e-5:
+        if abs(f1 - ad) <= 0.25 * max(abs(f1), abs(ad)) + 1e-3:
             passed += 1
-    assert passed >= 2, (passed, g.max())
+    assert smooth >= 2, f"only {smooth} smooth coords of {len(flat)}"
+    assert passed == smooth, (passed, smooth)
 
 
 def test_train_step_reduces_loss(key):
