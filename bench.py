@@ -160,10 +160,14 @@ def main() -> int:
     for i in range(n_timed):
         img, stats = fn(jax.random.fold_in(key, i + 1))
         emitted_acc.append(stats["photons_emitted"])
-    jax.block_until_ready(img)
-    # device_get of a scalar forces full completion (CLAUDE.md: on the
-    # tunnel block_until_ready alone can return early).
-    emitted = sum(float(jax.device_get(e)) for e in emitted_acc)
+    # ONE device_get of a scalar forces full completion (CLAUDE.md: on the
+    # tunnel block_until_ready alone can return early).  Summing on device
+    # first keeps exactly one tunnel RTT inside the timed window — a
+    # per-pass loop of device_gets charged ~1 RTT of pure latency to every
+    # timed pass (ADVICE round 2).
+    import jax.numpy as jnp
+
+    emitted = float(jax.device_get(jnp.stack(emitted_acc).sum()))
     dt = (time.perf_counter() - t0) / n_timed
     emitted /= n_timed
 

@@ -67,13 +67,12 @@ DEFAULT_Z_HI = 200.0
 
 #: Sentinel position for invalid/padding deposit lanes (fails any d2 test).
 FAR = 1e9
-#: Sort-key y quantisation: 1/8 scene unit over [Y_LO, Y_HI).  int32 keys
-#: with floor/ceil window bounds are exactly conservative — no fp margin.
+#: Sort-key y quantisation: 1/8 scene unit over [y_lo, y_hi) (constructor
+#: params; these are the reference-scene defaults).  int32 keys with
+#: floor/ceil window bounds are exactly conservative — no fp margin.
 Y_LO = -40.0
 Y_HI = 240.0
 YQ = 8.0
-Y_RANGE = int((Y_HI - Y_LO) * YQ)          # 2240 quanta
-Y_STRIDE = Y_RANGE + 2
 
 
 @flax.struct.dataclass
@@ -82,8 +81,8 @@ class HpLayout:
 
     packed: jnp.ndarray    # (c_pad, 8): pos xyz, n xyz, r2 slot, unused
     g: jnp.ndarray         # (C,) layout slot of hit point i (dest o h_ord^-1)
-    lo_keys: jnp.ndarray   # (n_tiles, 3) window lower keys
-    hi_keys: jnp.ndarray   # (n_tiles, 3) window upper keys
+    lo_keys: jnp.ndarray   # (n_tiles, K) window lower keys, K = len(win_offs)
+    hi_keys: jnp.ndarray   # (n_tiles, K) window upper keys
 
 
 def _deposit_kernel(wt_ref, wb_ref, wc_ref, hp_ref, dep_ref, out_ref,
@@ -145,7 +144,8 @@ class PallasDeposit:
                  search_r: float = SEARCH_R, x_lo: float = DEFAULT_X_LO,
                  x_hi: float = DEFAULT_X_HI, interpret: bool = False,
                  bucket2d: bool = False, z_axis: int = 2,
-                 z_lo: float = DEFAULT_Z_LO, z_hi: float = DEFAULT_Z_HI):
+                 z_lo: float = DEFAULT_Z_LO, z_hi: float = DEFAULT_Z_HI,
+                 y_lo: float = Y_LO, y_hi: float = Y_HI):
         self.tile = tile
         self.wchunk = wchunk
         self.work_cap = work_cap
@@ -160,6 +160,11 @@ class PallasDeposit:
         self.n_bz = (int(math.ceil((z_hi - z_lo) / self.bucket)) + 1
                      if bucket2d else 1)
         self.n_buckets = self.n_bx * self.n_bz
+        # y sort-axis quantisation (constructor params since round 3 — the
+        # hard-coded module constants were a latent footgun for other scenes).
+        self.y_lo = y_lo
+        self.y_range = int(math.ceil((y_hi - y_lo) * YQ))
+        self.y_stride = self.y_range + 2
         # Window bucket-id offsets, ascending (key order): 1D = the x
         # neighbours; 2D = the 3x3 (x, z) neighbourhood.  A kz at the z
         # boundary wraps into a real (kx+-1, *) bucket — that only ADDS
@@ -169,6 +174,11 @@ class PallasDeposit:
                              for dx in (-1, 0, 1) for dz in (-1, 0, 1)]
         else:
             self.win_offs = [-1, 0, 1]
+        # Lower/upper bucket offsets per window: equal here (each window is
+        # one bucket's y-range); PallasDepositLane merges z-triplets by
+        # giving lo/hi DIFFERENT offsets.
+        self.win_offs_lo = self.win_offs
+        self.win_offs_hi = self.win_offs
         self.interpret = interpret
 
     # -- helpers -----------------------------------------------------------
@@ -190,8 +200,8 @@ class PallasDeposit:
 
     def _yq(self, y):
         """Quantized sort coordinate (floor -> conservative with ceil hi)."""
-        return jnp.clip(jnp.floor((y - Y_LO) * YQ).astype(jnp.int32),
-                        0, Y_RANGE - 1)
+        return jnp.clip(jnp.floor((y - self.y_lo) * YQ).astype(jnp.int32),
+                        0, self.y_range - 1)
 
     def _c_pad(self, C: int) -> int:
         t = self.tile
@@ -200,7 +210,7 @@ class PallasDeposit:
     def _sentinel_key(self) -> int:
         """Key for invalid deposit lanes: beyond every window, including
         windows of the sentinel hit-point bucket and wrapped neighbours."""
-        return (self.n_buckets + self.n_bz + 2) * Y_STRIDE
+        return (self.n_buckets + self.n_bz + 2) * self.y_stride
 
     # -- once per pass -----------------------------------------------------
     def prepare(self, hp: HitPoints) -> HpLayout:
@@ -208,7 +218,7 @@ class PallasDeposit:
         C = hp.capacity
         nb = self.n_buckets
         hkx = jnp.where(hp.valid, self._bid(hp.pos), nb)
-        hkey = hkx * Y_STRIDE + jnp.where(
+        hkey = hkx * self.y_stride + jnp.where(
             hp.valid, self._yq(hp.pos[:, self.ay]), 0
         )
         # one variadic sort: permutation + bucket ids, no re-gather
@@ -259,15 +269,22 @@ class PallasDeposit:
         y_hi = jnp.where(tv, ty, -jnp.inf).max(1) + self.search_r
         dead1 = ~jnp.isfinite(y_lo)
         # Conservative quantized window bounds: floor for lo, ceil for hi.
-        ylo_q = jnp.clip(jnp.floor((y_lo - Y_LO) * YQ), -1e9, Y_RANGE).astype(
-            jnp.int32)
-        yhi_q = jnp.clip(jnp.ceil((y_hi - Y_LO) * YQ), -1e9, Y_RANGE).astype(
-            jnp.int32)
+        # The lo clip tops out at y_range - 1 to MATCH _yq's clip — clipping
+        # to y_range made a window whose y_lo lands above y_hi empty while
+        # deposits up there still quantise to y_range - 1 (ADVICE round 2:
+        # the one edge where "windows are supersets" broke).
+        ylo_q = jnp.clip(jnp.floor((y_lo - self.y_lo) * YQ), -1e9,
+                         self.y_range - 1).astype(jnp.int32)
+        yhi_q = jnp.clip(jnp.ceil((y_hi - self.y_lo) * YQ), -1e9,
+                         self.y_range).astype(jnp.int32)
 
-        offs = jnp.asarray(self.win_offs, jnp.int32)
-        lo_keys = (kb[:, None] + offs[None, :]) * Y_STRIDE + ylo_q[:, None]
-        hi_keys = (kb[:, None] + offs[None, :]) * Y_STRIDE + yhi_q[:, None]
-        big = self._sentinel_key() + Y_STRIDE
+        offs_lo = jnp.asarray(self.win_offs_lo, jnp.int32)
+        offs_hi = jnp.asarray(self.win_offs_hi, jnp.int32)
+        lo_keys = ((kb[:, None] + offs_lo[None, :]) * self.y_stride
+                   + ylo_q[:, None])
+        hi_keys = ((kb[:, None] + offs_hi[None, :]) * self.y_stride
+                   + yhi_q[:, None])
+        big = self._sentinel_key() + self.y_stride
         lo_keys = jnp.where(dead1[:, None], big, lo_keys)
         hi_keys = jnp.where(dead1[:, None], big, hi_keys)
         # hp-id -> layout slot, so per-round r2 refresh and result unpacking
@@ -275,32 +292,17 @@ class PallasDeposit:
         g = jnp.zeros((C,), dest.dtype).at[h_ord].set(dest)
         return HpLayout(packed=packed, g=g, lo_keys=lo_keys, hi_keys=hi_keys)
 
-    # -- per round ---------------------------------------------------------
-    def __call__(self, hp: HitPoints, dep: Deposits,
-                 prep: HpLayout | None = None):
-        if prep is None:
-            prep = self.prepare(hp)
-        t, wc = self.tile, self.wchunk
-        C = hp.capacity
-        c_pad = self._c_pad(C)
-        n_tiles = c_pad // t
-        W = self.work_cap
-        assert W >= n_tiles + 1, (
-            f"work_cap {W} must exceed the tile count {n_tiles}"
-        )
+    def _dep_sorted(self, dep: Deposits, granularity: int):
+        """Sort + pack the round's deposits: (dkeys, d_ord, dep_packed, Dp).
 
-        # refresh the per-round r2 slot (radius shrink between rounds)
-        packed = prep.packed.at[prep.g, 6].set(
-            jnp.where(hp.valid, hp.r2, -1.0)
-        )
-
-        # ---- deposit side: sort + pack (16, Dp) ----
+        ``dep_packed`` is (16, Dp) with Dp a multiple of ``granularity``;
+        rows: pos xyz (FAR for invalid), n xyz, flux rgb, zeros."""
         D = dep.pos.shape[0]
-        Dp = ((D + wc - 1) // wc) * wc
-        n_blocks = Dp // wc
+        Dp = ((D + granularity - 1) // granularity) * granularity
         dkey = jnp.where(
             dep.valid,
-            self._bid(dep.pos) * Y_STRIDE + self._yq(dep.pos[:, self.ay]),
+            self._bid(dep.pos) * self.y_stride
+            + self._yq(dep.pos[:, self.ay]),
             self._sentinel_key(),
         )
         # ONE sort yields both the sorted keys and the permutation —
@@ -321,6 +323,51 @@ class PallasDeposit:
         rows = rows_all[d_ord]
         dep_packed = jnp.zeros((16, Dp), jnp.float32).at[0:3, :].set(FAR)
         dep_packed = jax.lax.dynamic_update_slice(dep_packed, rows.T, (0, 0))
+        return dkeys, d_ord, dep_packed, Dp
+
+    def _window_lanes(self, prep: HpLayout, dkeys, n_tiles: int):
+        """Exact per-(tile, window) lane intervals, disjoint via cascade.
+
+        Returns (s, e) each (n_tiles, K): window k of tile i covers sorted
+        deposit lanes [s[i,k], e[i,k]).  Windows are key-ordered so
+        cascading each start past the previous end removes overlap without
+        dropping any lane."""
+        K = len(self.win_offs)
+        s_lane = jnp.searchsorted(dkeys, prep.lo_keys.reshape(-1),
+                                  side="left").reshape(n_tiles, K)
+        e_lane = jnp.searchsorted(dkeys, prep.hi_keys.reshape(-1),
+                                  side="right").reshape(n_tiles, K)
+        prev_e = jnp.zeros((n_tiles,), s_lane.dtype)
+        s_cols, e_cols = [], []
+        for k in range(K):
+            s_k = jnp.maximum(s_lane[:, k], prev_e)
+            e_k = jnp.maximum(e_lane[:, k], s_k)
+            s_cols.append(s_k)
+            e_cols.append(e_k)
+            prev_e = e_k
+        return jnp.stack(s_cols, 1), jnp.stack(e_cols, 1)
+
+    # -- per round ---------------------------------------------------------
+    def __call__(self, hp: HitPoints, dep: Deposits,
+                 prep: HpLayout | None = None):
+        if prep is None:
+            prep = self.prepare(hp)
+        t, wc = self.tile, self.wchunk
+        C = hp.capacity
+        c_pad = self._c_pad(C)
+        n_tiles = c_pad // t
+        W = self.work_cap
+        assert W >= n_tiles + 1, (
+            f"work_cap {W} must exceed the tile count {n_tiles}"
+        )
+
+        # refresh the per-round r2 slot (radius shrink between rounds)
+        packed = prep.packed.at[prep.g, 6].set(
+            jnp.where(hp.valid, hp.r2, -1.0)
+        )
+
+        dkeys, d_ord, dep_packed, Dp = self._dep_sorted(dep, wc)
+        n_blocks = Dp // wc
 
         # ---- exact per-tile lane intervals -> disjoint block intervals ----
         K = len(self.win_offs)
@@ -410,6 +457,431 @@ class PallasDeposit:
         # Upper bound on candidate lanes in work items beyond the cap.
         overflow = jnp.maximum(total - W, 0).astype(jnp.int32) * wc
         return cnt, d_tao, overflow
+
+
+def _lane_kernel(wt_ref, wf_ref, wa_ref, wb_ref, hp_ref, dep_hbm, out_ref,
+                 acc_ref, dbuf, sems, *, n_steps: int, ch: int):
+    """Lane-granular deposit step: manual double-buffered HBM->VMEM DMA.
+
+    Work item s: hit-point tile ``wt[s]`` (auto-pipelined BlockSpec) vs the
+    deposit lane chunk fetched from ``dep_hbm[:, wf[s]:wf[s]+ch]`` (128-
+    aligned start); only lanes with global index in [wa[s], wb[s]) count —
+    the mask is what makes lane-granular (not block-aligned) work items
+    exact without disjoint block inflation (docs/PERF.md round-2 finding:
+    2-D bucketing's ~10x pair-volume cut was unusable at wchunk-block
+    granularity).  The deposit side deliberately bypasses the BlockSpec
+    pipeline: its block indices are data-dependent AND unaligned, so the
+    kernel DMAs exactly the lanes it needs, overlapped one step ahead.
+    """
+    s = pl.program_id(0)
+    tile = wt_ref[s]
+    prev = wt_ref[jnp.maximum(s - 1, 0)]
+    nxt = wt_ref[jnp.minimum(s + 1, n_steps - 1)]
+    is_first = (s == 0) | (tile != prev)
+    is_last = (s == n_steps - 1) | (tile != nxt)
+
+    def dma(slot, step):
+        # Work-item fetch starts are 128-aligned by construction
+        # (_build_items anchors chunk grids at (start // 128) * 128 and
+        # Dp is a multiple of chunk); multiple_of carries the proof to
+        # Mosaic, which otherwise rejects the dynamic lane-dim slice.
+        f = pl.multiple_of(wf_ref[step], 128)
+        return pltpu.make_async_copy(
+            dep_hbm.at[:, pl.ds(f, ch)], dbuf.at[slot],
+            sems.at[slot],
+        )
+
+    # Pad items (wa >= wb) issue NO DMA: start (lookahead from the previous
+    # step / warm-up) and wait are guarded by the SAME per-item predicate,
+    # so semaphore signals and waits always match 1:1.
+    @pl.when((s == 0) & (wa_ref[0] < wb_ref[0]))
+    def _():
+        dma(0, 0).start()
+
+    @pl.when((s + 1 < n_steps) & (wa_ref[jnp.minimum(s + 1, n_steps - 1)]
+                                  < wb_ref[jnp.minimum(s + 1, n_steps - 1)]))
+    def _():
+        dma((s + 1) % 2, s + 1).start()
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    slot = s % 2
+
+    @pl.when(wa_ref[s] < wb_ref[s])
+    def _():
+        dma(slot, s).wait()
+        hp = hp_ref[...]                                   # (t, 8)
+        dep = dbuf[slot]                                   # (16, ch)
+        gidx = wf_ref[s] + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+        lane_ok = (gidx >= wa_ref[s]) & (gidx < wb_ref[s])
+        dx = hp[:, 0:1] - dep[0:1, :]
+        dy = hp[:, 1:2] - dep[1:2, :]
+        dz = hp[:, 2:3] - dep[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz                   # (t, ch)
+        ndot = (hp[:, 3:4] * dep[3:4, :]
+                + hp[:, 4:5] * dep[4:5, :]
+                + hp[:, 5:6] * dep[5:6, :])
+        m = ((d2 <= hp[:, 6:7]) & (ndot > NORMAL_DOT_MIN)
+             & lane_ok).astype(jnp.float32)
+        acc_ref[:, 0:1] += jnp.sum(m, axis=1, keepdims=True)
+        acc_ref[:, 1:2] += jnp.sum(m * dep[6:7, :], axis=1, keepdims=True)
+        acc_ref[:, 2:3] += jnp.sum(m * dep[7:8, :], axis=1, keepdims=True)
+        acc_ref[:, 3:4] += jnp.sum(m * dep[8:9, :], axis=1, keepdims=True)
+
+    @pl.when(is_last)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+class PallasDepositLane(PallasDeposit):
+    """Lane-granular banded deposit: the round-3 successor to the block
+    kernel above (the kd-tree deposit loop replacement,
+    raytracer/Raytracer.h:137-159).
+
+    Differences from ``PallasDeposit``:
+      * work items are ``chunk``-lane spans at 128-lane alignment with an
+        EXACT per-item lane mask — no wchunk-block ceiling inflation, so
+        2-D (x, z) bucketing's ~10x candidate-volume cut is finally usable;
+      * with ``bucket2d`` + ``merge_z`` (default), the 9-window 3x3
+        neighbourhood collapses to 3 key-contiguous merged windows
+        [key(kx', kz-1, y_lo) .. key(kx', kz+1, y_hi)] — the middle
+        bucket's full y-range is the (small) superset price for 3x fewer
+        partial chunks; extra lanes die on the exact d2 test as always;
+      * the deposit side is fetched by in-kernel double-buffered DMA from
+        HBM (``_lane_kernel``), not the BlockSpec pipeline;
+      * tiles with no candidate lanes get NO grid step (their out tiles are
+        zeroed on the host side) — with 2-D bucketing most padding tiles
+        are dead and the old 1-step-per-tile floor dominated.
+
+    Exactness: window supersets + the in-kernel d2/r2/normal test, as
+    before; the lane mask replaces block disjointness, and the cascade in
+    ``_window_lanes`` keeps multi-window tiles from double counting.
+    """
+
+    def __init__(self, tile: int = 256, chunk: int = 512,
+                 work_cap: int = 16384, merge_z: bool = True,
+                 differentiable: bool = False, **kw):
+        kw.setdefault("bucket2d", True)
+        super().__init__(tile=tile, wchunk=chunk, work_cap=work_cap, **kw)
+        assert chunk % 128 == 0, "chunk must be a multiple of 128 lanes"
+        self.chunk = chunk
+        self.merge_z = merge_z and self.bucket2d
+        #: route calls through the custom VJP (gradients into hp.wgt and
+        #: dep.flux via the transposed banded kernel, _lane_bwd_kernel).
+        self.differentiable = differentiable
+        if self.merge_z:
+            # One merged window per dx: lo at (dx, kz-1) with the tile's
+            # y_lo, hi at (dx, kz+1) with the tile's y_hi.
+            self.win_offs = [dx * self.n_bz for dx in (-1, 0, 1)]
+            self.win_offs_lo = [dx * self.n_bz - 1 for dx in (-1, 0, 1)]
+            self.win_offs_hi = [dx * self.n_bz + 1 for dx in (-1, 0, 1)]
+
+    def work_items(self, hp: HitPoints, dep: Deposits,
+                   prep: HpLayout | None = None):
+        """True work-item count for these inputs (for sizing ``work_cap``)."""
+        if prep is None:
+            prep = self.prepare(hp)
+        n_tiles = self._c_pad(hp.capacity) // self.tile
+        dkeys, _, _, _ = self._dep_sorted(dep, self.chunk)
+        sk, ek = self._window_lanes(prep, dkeys, n_tiles)
+        a0 = (sk // 128) * 128
+        nch = jnp.where(ek > sk, (ek - a0 + self.chunk - 1) // self.chunk, 0)
+        return nch.sum()
+
+    def _build_items(self, sk, ek, n_tiles: int, W: int, Dp: int,
+                     align: int):
+        """Flatten the (tile, window) lane intervals into W work items.
+
+        Chunks live on an ``align``-aligned grid anchored at each window's
+        start; the chunk's LOGICAL lane interval [wa, wb) is what the
+        kernel masks to, so alignment slop and chunk-grid overshoot never
+        double count or miss a lane.  The forward kernel uses align=128
+        (min DMA alignment); the backward uses align=chunk so output
+        blocks land on the BlockSpec grid.
+
+        Returns (wt, f, wa, wb, nc_tile, cum, total); pad items beyond
+        ``total`` have wa == wb == 0 and frozen tile/fetch.
+        """
+        ch = self.chunk
+        K = sk.shape[1]
+        a0 = (sk // align) * align                          # (n_tiles, K)
+        nch = jnp.where(ek > sk, (ek - a0 + ch - 1) // ch, 0)
+        nc_tile = nch.sum(1)                                # (n_tiles,)
+        cum = jnp.cumsum(nc_tile)
+        total = cum[-1]
+
+        s_idx = jnp.arange(W)
+        wt = jnp.searchsorted(cum, s_idx, side="right")     # (W,)
+        wt = jnp.minimum(wt, n_tiles - 1)
+        base = cum[wt] - nc_tile[wt]
+        j = s_idx - base                                    # chunk within tile
+        ncc = jnp.cumsum(nch, axis=1)                       # (n_tiles, K)
+        ncc_w = ncc[wt]                                     # (W, K)
+        w_id = jnp.sum((j[:, None] >= ncc_w).astype(jnp.int32), axis=1)
+        w_id = jnp.minimum(w_id, K - 1)
+        jk = j - jnp.where(
+            w_id > 0,
+            jnp.take_along_axis(ncc_w, jnp.maximum(w_id - 1, 0)[:, None],
+                                axis=1)[:, 0],
+            0,
+        )
+        pick = lambda arr: jnp.take_along_axis(
+            arr[wt], w_id[:, None], axis=1)[:, 0]
+        f = pick(a0) + jk * ch
+        wa = jnp.maximum(pick(sk), f)
+        wb = jnp.minimum(pick(ek), f + ch)
+        # Clamping f into [0, Dp - ch] keeps the DMA in bounds; the mask
+        # interval stays within the clamped span (wb <= Dp = f + ch).
+        f = jnp.clip(f, 0, Dp - ch)
+        live = s_idx < total
+        last = jnp.clip(total - 1, 0, W - 1)
+        # pad items: freeze tile/fetch at the last real item, empty mask
+        wt = jnp.where(live, wt, wt[last]).astype(jnp.int32)
+        f = jnp.where(live, f, f[last]).astype(jnp.int32)
+        wa = jnp.where(live, wa, 0).astype(jnp.int32)
+        wb = jnp.where(live, wb, 0).astype(jnp.int32)
+        return wt, f, wa, wb, nc_tile, cum, total
+
+    def __call__(self, hp: HitPoints, dep: Deposits,
+                 prep: HpLayout | None = None):
+        if self.differentiable:
+            if prep is None:
+                prep = self.prepare(hp)
+            # prepare() only orders/pads by positions (box-kernel: a.e. zero
+            # cotangent); stop_gradient skips a useless backward graph.
+            return _lane_deposit_diff(
+                self, hp, dep, jax.lax.stop_gradient(prep))
+        cnt, d_tao, overflow, _ = self._forward_full(hp, dep, prep)
+        return cnt, d_tao, overflow
+
+    def _forward_full(self, hp: HitPoints, dep: Deposits,
+                      prep: HpLayout | None = None):
+        if prep is None:
+            prep = self.prepare(hp)
+        t, ch = self.tile, self.chunk
+        C = hp.capacity
+        c_pad = self._c_pad(C)
+        n_tiles = c_pad // t
+        W = self.work_cap
+
+        packed = prep.packed.at[prep.g, 6].set(
+            jnp.where(hp.valid, hp.r2, -1.0)
+        )
+        dkeys, d_ord, dep_packed, Dp = self._dep_sorted(dep, ch)
+        sk, ek = self._window_lanes(prep, dkeys, n_tiles)   # (n_tiles, K)
+        wt, f, wa, wb, nc_tile, cum, total = self._build_items(
+            sk, ek, n_tiles, W, Dp, align=128)
+
+        kernel = functools.partial(_lane_kernel, n_steps=W, ch=ch)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((t, 8), lambda s, wt, wf, wa, wb: (wt[s], 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),       # (16, Dp) in HBM
+            ],
+            out_specs=pl.BlockSpec((t, 8),
+                                   lambda s, wt, wf, wa, wb: (wt[s], 0)),
+            scratch_shapes=[
+                pltpu.VMEM((t, 8), jnp.float32),            # accumulator
+                pltpu.VMEM((2, 16, ch), jnp.float32),       # DMA buffers
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((c_pad, 8), jnp.float32),
+            interpret=self.interpret,
+        )(wt, f, wa, wb, packed, dep_packed)
+
+        # Tiles that never got an executed step carry uninitialised memory:
+        # dead tiles (no candidates) and tiles whose first item fell beyond
+        # the cap.  jnp.where, not multiply (garbage may be NaN).
+        handled = (nc_tile > 0) & ((cum - nc_tile) < W)
+        out = jnp.where(handled[:, None, None],
+                        out.reshape(n_tiles, t, 8), 0.0).reshape(c_pad, 8)
+        res = out[prep.g]                                   # (C, 8) one gather
+        cnt = res[:, 0]
+        fl = res[:, 1:4]                                    # sum of nbr flux
+        d_tao = hp.wgt * fl / jnp.pi                        # Raytracer.h:156
+        overflow = jnp.maximum(total - W, 0).astype(jnp.int32) * ch
+        return cnt, d_tao, overflow, fl
+
+    def _backward_flux(self, hp: HitPoints, dep: Deposits, prep: HpLayout,
+                       u: jnp.ndarray) -> jnp.ndarray:
+        """Transposed banded product: d_flux[j] = sum_i m_ij u_i, (D, 3).
+
+        Same prepared layout and lane intervals as the forward; work items
+        are rebuilt chunk-ALIGNED (align=chunk) and sorted by deposit block
+        so each output block accumulates over a contiguous run of grid
+        steps — the exact mirror of the forward's per-tile accumulation.
+        ``u`` is the hit-point-side cotangent row wgt * g_tao / pi.
+        """
+        t, ch = self.tile, self.chunk
+        C = hp.capacity
+        c_pad = self._c_pad(C)
+        n_tiles = c_pad // t
+        K = len(self.win_offs)
+        # Chunk-alignment adds at most one chunk per window vs the forward's
+        # 128-alignment, so this cap never truncates when the forward's
+        # didn't (overflowing calls get a correspondingly truncated grad).
+        W = self.work_cap + K * n_tiles
+
+        packed = prep.packed.at[prep.g, 6].set(
+            jnp.where(hp.valid, hp.r2, -1.0)
+        )
+        D = dep.pos.shape[0]
+        dkeys, d_ord, dep_packed, Dp = self._dep_sorted(dep, ch)
+        n_blocks = Dp // ch
+        sk, ek = self._window_lanes(prep, dkeys, n_tiles)
+        wt, f, wa, wb, nc_tile, cum, total = self._build_items(
+            sk, ek, n_tiles, W, Dp, align=ch)
+        # order items by deposit block (pads, wa == wb, sort last)
+        fkey = jnp.where(wa < wb, f, jnp.int32(2**30))
+        fkey, wt, f, wa, wb = jax.lax.sort(
+            (fkey, wt, f, wa, wb), num_keys=1
+        )
+        live = wa < wb
+        last = jnp.clip(total - 1, 0, W - 1)
+        f = jnp.where(live, f, f[last]).astype(jnp.int32)
+        wt = jnp.where(live, wt, wt[last]).astype(jnp.int32)
+        wfb = f // ch
+
+        u_rows = jnp.concatenate(
+            [u.astype(jnp.float32), jnp.zeros((C, 5), jnp.float32)], axis=1
+        )
+        u_packed = jnp.zeros((c_pad, 8), jnp.float32).at[prep.g].set(
+            u_rows, mode="drop"
+        )
+
+        kernel = functools.partial(_lane_bwd_kernel, n_steps=W, ch=ch)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(W,),
+            in_specs=[
+                pl.BlockSpec((t, 8),
+                             lambda s, wt, wfb, wa, wb: (wt[s], 0)),
+                pl.BlockSpec((t, 8),
+                             lambda s, wt, wfb, wa, wb: (wt[s], 0)),
+                pl.BlockSpec((16, ch),
+                             lambda s, wt, wfb, wa, wb: (0, wfb[s])),
+            ],
+            out_specs=pl.BlockSpec((8, ch),
+                                   lambda s, wt, wfb, wa, wb: (0, wfb[s])),
+            scratch_shapes=[pltpu.VMEM((8, ch), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, Dp), jnp.float32),
+            interpret=self.interpret,
+        )(wt, wfb, wa, wb, packed, u_packed, dep_packed)
+
+        covered = jnp.zeros((n_blocks,), bool).at[
+            jnp.where(live, wfb, n_blocks)
+        ].set(True, mode="drop")
+        out = jnp.where(jnp.repeat(covered, ch)[None, :], out, 0.0)
+        rows = out[0:3, :].T                                # (Dp, 3)
+        return jnp.zeros((D, 3), jnp.float32).at[d_ord].set(rows[:D])
+
+
+def _lane_bwd_kernel(wt_ref, wfb_ref, wa_ref, wb_ref, hp_ref, u_ref, dep_ref,
+                     out_ref, acc_ref, *, n_steps: int, ch: int):
+    """Transpose of ``_lane_kernel``: accumulate per-DEPOSIT-lane cotangent
+    sums d_flux[:, j] += m_ij * u_i over the same masked pair tests.
+
+    Items arrive sorted by deposit block (``wfb``); the (8, ch) accumulator
+    flushes when the block changes.  The deposit side is chunk-aligned here,
+    so the regular BlockSpec pipeline fetches it (no manual DMA needed)."""
+    s = pl.program_id(0)
+    fb = wfb_ref[s]
+    prev = wfb_ref[jnp.maximum(s - 1, 0)]
+    nxt = wfb_ref[jnp.minimum(s + 1, n_steps - 1)]
+    is_first = (s == 0) | (fb != prev)
+    is_last = (s == n_steps - 1) | (fb != nxt)
+
+    @pl.when(is_first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(wa_ref[s] < wb_ref[s])
+    def _():
+        hp = hp_ref[...]                                   # (t, 8)
+        u = u_ref[...]                                     # (t, 8)
+        dep = dep_ref[...]                                 # (16, ch)
+        gidx = fb * ch + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+        lane_ok = (gidx >= wa_ref[s]) & (gidx < wb_ref[s])
+        dx = hp[:, 0:1] - dep[0:1, :]
+        dy = hp[:, 1:2] - dep[1:2, :]
+        dz = hp[:, 2:3] - dep[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        ndot = (hp[:, 3:4] * dep[3:4, :]
+                + hp[:, 4:5] * dep[4:5, :]
+                + hp[:, 5:6] * dep[5:6, :])
+        m = ((d2 <= hp[:, 6:7]) & (ndot > NORMAL_DOT_MIN)
+             & lane_ok).astype(jnp.float32)
+        acc_ref[0:1, :] += jnp.sum(m * u[:, 0:1], axis=0, keepdims=True)
+        acc_ref[1:2, :] += jnp.sum(m * u[:, 1:2], axis=0, keepdims=True)
+        acc_ref[2:3, :] += jnp.sum(m * u[:, 2:3], axis=0, keepdims=True)
+
+    @pl.when(is_last)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+def _zero_cot(x):
+    """Zero cotangent of the right type (float0 for int/bool leaves)."""
+    import numpy as np
+
+    if jnp.issubdtype(x.dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lane_deposit_diff(depo: PallasDepositLane, hp: HitPoints,
+                       dep: Deposits, prep: HpLayout):
+    """Differentiable lane deposit: gradients flow into ``hp.wgt`` and
+    ``dep.flux`` through the banded kernel pair; position/normal/radius
+    cotangents are the a.e.-zero box-kernel derivative, exactly like
+    ``diff.vjp.deposit_bruteforce_vjp`` (the deposit line being
+    differentiated is raytracer/Raytracer.h:156)."""
+    cnt, d_tao, ovf, _ = depo._forward_full(hp, dep, prep)
+    return cnt, d_tao, ovf
+
+
+def _lane_diff_fwd(depo, hp, dep, prep):
+    cnt, d_tao, ovf, fl = depo._forward_full(hp, dep, prep)
+    return (cnt, d_tao, ovf), (hp, dep, prep, fl)
+
+
+def _lane_diff_bwd(depo, res, g):
+    hp, dep, prep, fl = res
+    _g_cnt, g_tao, _g_ovf = g  # cnt/overflow are piecewise constant
+    d_wgt = g_tao * fl / jnp.pi
+    u = hp.wgt * g_tao / jnp.pi                             # (C, 3)
+    d_flux = depo._backward_flux(hp, dep, prep, u)
+    d_hp = HitPoints(
+        pos=_zero_cot(hp.pos), n=_zero_cot(hp.n), wgt=d_wgt,
+        pixel=_zero_cot(hp.pixel), valid=_zero_cot(hp.valid),
+        r2=_zero_cot(hp.r2), nphot=_zero_cot(hp.nphot),
+        tao=_zero_cot(hp.tao),
+    )
+    d_dep = Deposits(
+        pos=_zero_cot(dep.pos), n=_zero_cot(dep.n), flux=d_flux,
+        valid=_zero_cot(dep.valid),
+    )
+    d_prep = HpLayout(
+        packed=_zero_cot(prep.packed), g=_zero_cot(prep.g),
+        lo_keys=_zero_cot(prep.lo_keys), hi_keys=_zero_cot(prep.hi_keys),
+    )
+    return d_hp, d_dep, d_prep
+
+
+_lane_deposit_diff.defvjp(_lane_diff_fwd, _lane_diff_bwd)
 
 
 def make_pallas_deposit(**kw) -> PallasDeposit:

@@ -61,7 +61,8 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     from raytrace3_tpu.core.types import Deposits, make_hitpoints
-    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+    from raytrace3_tpu.ops.deposit_pallas import (PallasDeposit,
+                                                  PallasDepositLane)
 
     segs, N = 14, 131072
     D = segs * N
@@ -79,17 +80,23 @@ def main() -> int:
                     valid=jnp.ones((C,), bool))
 
     bounds = dict(x_lo=-4.0, x_hi=104.0, z_lo=-4.0, z_hi=184.0)
+    L = PallasDepositLane
     configs = [
         ("1d_t512_wc1024_W16k", dict(tile=512, wchunk=1024, work_cap=16384)),
-        ("2d_t256_wc512_W32k", dict(tile=256, wchunk=512, work_cap=32768,
-                                    bucket2d=True, **bounds)),
-        ("2d_t256_wc512_W12k", dict(tile=256, wchunk=512, work_cap=12288,
-                                    bucket2d=True, **bounds)),
-        ("2d_t512_wc512_W8k", dict(tile=512, wchunk=512, work_cap=8192,
-                                   bucket2d=True, **bounds)),
-        ("2d_t256_wc1024_W8k", dict(tile=256, wchunk=1024, work_cap=8192,
-                                    bucket2d=True, **bounds)),
-        ("1d_t256_wc512_W16k", dict(tile=256, wchunk=512, work_cap=16384)),
+        ("lane2d_t256_ch512_W16k", dict(cls=L, tile=256, chunk=512,
+                                        work_cap=16384, **bounds)),
+        ("lane2d_t256_ch256_W24k", dict(cls=L, tile=256, chunk=256,
+                                        work_cap=24576, **bounds)),
+        ("lane2d_t512_ch512_W12k", dict(cls=L, tile=512, chunk=512,
+                                        work_cap=12288, **bounds)),
+        ("lane2d_t256_ch512_W24k_nomerge", dict(cls=L, tile=256, chunk=512,
+                                                work_cap=24576, merge_z=False,
+                                                **bounds)),
+        ("lane1d_t512_ch512_W16k", dict(cls=L, tile=512, chunk=512,
+                                        work_cap=16384, bucket2d=False,
+                                        x_lo=-4.0, x_hi=104.0)),
+        ("lane2d_t128_ch512_W24k", dict(cls=L, tile=128, chunk=512,
+                                        work_cap=24576, **bounds)),
     ]
     sel = os.environ.get("RT3_SWEEP")
     if sel:
@@ -99,7 +106,9 @@ def main() -> int:
     print(f"# D={D} C={C} backend={jax.default_backend()}", file=sys.stderr,
           flush=True)
     for name, kw in configs:
-        depo = PallasDeposit(interpret=jax.default_backend() != "tpu", **kw)
+        kw = dict(kw)
+        cls = kw.pop("cls", PallasDeposit)
+        depo = cls(interpret=jax.default_backend() != "tpu", **kw)
         try:
             prep = jax.jit(depo.prepare)(hp)
             jax.block_until_ready(prep)
@@ -118,9 +127,13 @@ def main() -> int:
             ovf = int(jax.device_get(out[2]))
             nb = depo.n_buckets
             n_tiles = depo._c_pad(C) // depo.tile
-            print(json.dumps({"cfg": name, "ms": round(dt * 1e3, 2),
-                              "overflow": ovf, "n_tiles": n_tiles,
-                              "n_buckets": nb}), flush=True)
+            rec = {"cfg": name, "ms": round(dt * 1e3, 2),
+                   "overflow": ovf, "n_tiles": n_tiles, "n_buckets": nb}
+            if hasattr(depo, "work_items"):
+                rec["items"] = int(jax.device_get(jax.jit(
+                    lambda h, d, p=prep, f=depo: f.work_items(h, d, prep=p)
+                )(hp, dep)))
+            print(json.dumps(rec), flush=True)
         except Exception as e:
             print(json.dumps({"cfg": name, "error": str(e)[:200]}),
                   flush=True)

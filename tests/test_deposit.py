@@ -232,6 +232,129 @@ def test_pallas_deposit_2d_matches_bruteforce(rng):
                                    rtol=2e-4, atol=1e-4)
 
 
+def _lane_kw():
+    return dict(tile=32, chunk=128, interpret=True,
+                x_lo=-8.0, x_hi=48.0, z_lo=-8.0, z_hi=170.0,
+                y_lo=-8.0, y_hi=88.0)
+
+
+def test_lane_deposit_matches_bruteforce(rng):
+    """Lane-granular kernel (round 3): bit-exact counts vs the oracle on
+    uniform + adversarial wall distributions, in all three banding modes."""
+    from raytrace3_tpu.ops.deposit_pallas import PallasDepositLane
+
+    for hp, dep in (_random_case(rng, C=400, D=900), _wall_case(rng)):
+        bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+        for mode in ("merge", "nomerge", "1d"):
+            kw = _lane_kw()
+            if mode == "nomerge":
+                kw["merge_z"] = False
+            if mode == "1d":
+                kw["bucket2d"] = False
+                kw.pop("z_lo"), kw.pop("z_hi")
+            pd = PallasDepositLane(work_cap=8192, **kw)
+            gc, gt, ovf = jax.jit(pd)(hp, dep)
+            assert int(ovf) == 0, mode
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(bc),
+                                       rtol=1e-5, err_msg=mode)
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                                       rtol=2e-4, atol=1e-4, err_msg=mode)
+
+
+def test_lane_deposit_prepared_reuse(rng):
+    from raytrace3_tpu.ops.deposit_pallas import PallasDepositLane
+
+    hp, dep = _random_case(rng, C=300, D=700)
+    pd = PallasDepositLane(work_cap=4096, **_lane_kw())
+    prep = pd.prepare(hp)
+    for scale in (1.0, 0.7):
+        hp2 = hp.replace(r2=hp.r2 * scale)
+        a = pd(hp2, dep, prep=prep)
+        bc, bt = deposit_bruteforce(hp2, dep)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(bc),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(bt),
+                                   rtol=2e-4, atol=1e-4)
+
+
+def test_lane_deposit_overflow_and_empty(rng):
+    from raytrace3_tpu.ops.deposit_pallas import PallasDepositLane
+
+    hp, dep = _wall_case(rng)
+    pd = PallasDepositLane(work_cap=8192, **_lane_kw())
+    items = int(jax.jit(pd.work_items)(hp, dep))
+    assert 0 < items < 8192
+    pd_tiny = PallasDepositLane(work_cap=max(items // 4, 1), **_lane_kw())
+    cnt, tao, ovf = jax.jit(pd_tiny)(hp, dep)
+    assert int(ovf) > 0  # clipped work is loud
+    assert np.isfinite(np.asarray(tao)).all()
+    assert np.isfinite(np.asarray(cnt)).all()
+    # empty deposits / invalid hit points
+    c, t, o = pd(hp, dep.replace(valid=jnp.zeros_like(dep.valid)))
+    assert float(jnp.abs(c).sum()) == 0.0 and float(jnp.abs(t).sum()) == 0.0
+    c, t, o = pd(hp.replace(valid=jnp.zeros_like(hp.valid)), dep)
+    assert float(jnp.abs(c).sum()) == 0.0
+
+
+def test_lane_deposit_vjp_matches_bruteforce_vjp(rng):
+    """differentiable=True routes through the transposed banded kernel;
+    gradients into hp.wgt and dep.flux must match the bruteforce custom
+    VJP (diff/vjp.py) exactly — same box-kernel a.e.-zero convention for
+    positions/normals/radii (VERDICT round 2 item 4)."""
+    from raytrace3_tpu.diff.vjp import deposit_bruteforce_vjp
+    from raytrace3_tpu.ops.deposit_pallas import PallasDepositLane
+
+    for hp, dep in (_random_case(rng, C=300, D=700), _wall_case(rng)):
+        pd = PallasDepositLane(work_cap=8192, differentiable=True,
+                               **_lane_kw())
+        tgt = jnp.asarray(
+            np.random.default_rng(7).normal(
+                size=(hp.capacity, 3)).astype(np.float32))
+
+        def loss_lane(wgt, flux):
+            _, tao, _ = pd(hp.replace(wgt=wgt), dep.replace(flux=flux))
+            return jnp.sum(tao * tgt)
+
+        def loss_bf(wgt, flux):
+            _, tao = deposit_bruteforce_vjp(
+                hp.replace(wgt=wgt), dep.replace(flux=flux))
+            return jnp.sum(tao * tgt)
+
+        v1, (gw1, gf1) = jax.value_and_grad(loss_lane, (0, 1))(hp.wgt,
+                                                               dep.flux)
+        v2, (gw2, gf2) = jax.value_and_grad(loss_bf, (0, 1))(hp.wgt,
+                                                             dep.flux)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_lane_deposit_vjp_under_prep_reuse(rng):
+    """The photon_rounds calling pattern: prepare() outside, grad through
+    repeated calls with shrinking r2."""
+    from raytrace3_tpu.ops.deposit_pallas import PallasDepositLane
+
+    hp, dep = _random_case(rng, C=200, D=500)
+    pd = PallasDepositLane(work_cap=4096, differentiable=True, **_lane_kw())
+
+    def loss(wgt, flux):
+        h = hp.replace(wgt=wgt)
+        prep = pd.prepare(h)
+        tot = 0.0
+        for scale in (1.0, 0.7):
+            _, tao, _ = pd(h.replace(r2=hp.r2 * scale),
+                           dep.replace(flux=flux), prep=prep)
+            tot = tot + jnp.sum(tao)
+        return tot
+
+    gw, gf = jax.grad(loss, (0, 1))(hp.wgt, dep.flux)
+    assert np.isfinite(np.asarray(gw)).all()
+    assert np.isfinite(np.asarray(gf)).all()
+    assert float(jnp.abs(gf).sum()) > 0.0
+
+
 def test_pallas_deposit_2d_prepared_reuse(rng):
     from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
 
