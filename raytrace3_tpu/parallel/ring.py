@@ -53,13 +53,21 @@ def photon_rounds_ring(
       hp_local: this device's hit-point shard (C/n records).
       local_photons: photons traced per device per round.
       axis_name: the mesh axis the hit points are sharded over.
-    Returns the updated LOCAL hit-point shard.
+    Returns (updated LOCAL hit-point shard, local drop/overflow count).
     """
     n = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
+    returns_aux = getattr(deposit_fn, "returns_aux", False)
 
-    def round_body(hp, k):
+    # Backends with a prepare() hook (ops/deposit_pallas.py) amortise the
+    # hit-point layout across all rounds x ring hops of the pass.
+    dep_call = deposit_fn
+    if hasattr(deposit_fn, "prepare"):
+        dep_call = partial(deposit_fn, prep=deposit_fn.prepare(hp_local))
+
+    def round_body(carry, k):
+        hp, drops = carry
         ke, kt = jax.random.split(jax.random.fold_in(k, me))
         org, dir, flux = emit_photons(
             ke, scene.light_pos, scene.light_color, local_photons
@@ -71,21 +79,29 @@ def photon_rounds_ring(
             dep = compact_deposits(dep, max(cap, 128))
 
         def ring_step(carry, _):
-            dep, d_n, d_tao = carry
-            dn_i, dt_i = deposit_fn(hp, dep)           # local compute ...
+            dep, d_n, d_tao, ovf = carry
+            out = dep_call(hp, dep)                    # local compute ...
+            dn_i, dt_i = out[0], out[1]
+            if returns_aux:
+                ovf = ovf + out[2]
             dep = jax.tree.map(
                 lambda x: jax.lax.ppermute(x, axis_name, perm), dep
             )                                          # ... overlaps the hop
-            return (dep, d_n + dn_i, d_tao + dt_i), None
+            return (dep, d_n + dn_i, d_tao + dt_i, ovf), None
 
         init = (
             dep,
             jnp.zeros(hp.capacity, dep.pos.dtype),
             jnp.zeros((hp.capacity, 3), dep.pos.dtype),
+            jnp.zeros((), jnp.int32),
         )
-        (dep, d_n, d_tao), _ = jax.lax.scan(ring_step, init, None, length=n)
-        return ppm_update(hp, d_n, d_tao, update_mode), None
+        (dep, d_n, d_tao, ovf), _ = jax.lax.scan(
+            ring_step, init, None, length=n
+        )
+        return (ppm_update(hp, d_n, d_tao, update_mode), drops + ovf), None
 
     keys = jax.random.split(key, n_rounds)
-    hp_local, _ = jax.lax.scan(round_body, hp_local, keys)
-    return hp_local
+    (hp_local, drops), _ = jax.lax.scan(
+        round_body, (hp_local, jnp.zeros((), jnp.int32)), keys
+    )
+    return hp_local, drops

@@ -40,9 +40,17 @@ from .mesh import PASS_AXIS, PHOTON_AXIS, make_mesh
 
 
 def make_sharded_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
-                         mesh: Mesh, deposit_fn=None, newton_fn=None):
+                         mesh: Mesh, deposit_fn=None, newton_fn=None,
+                         hp_sharded: bool = False):
     """Build ``keys -> image`` where each pass-group renders one jittered
     pass and the result is the mean image over the pass axis.
+
+    ``hp_sharded``: keep each device's hit-point shard LOCAL (no
+    all-gather) and rotate the per-round deposit batches around the photon
+    axis instead (``parallel/ring.py``) — SURVEY.md parallel axis #3, for
+    canvases whose hit-point state would not fit replicated.  Memory per
+    device drops from O(C) to O(C / n_photon) at the cost of n-1 ppermute
+    hops per round (overlapped with the local deposit compute).
 
     Returns a jitted function taking a scalar base key.
     """
@@ -80,6 +88,22 @@ def make_sharded_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
             scene, org_s, dir_s, local_capacity, cfg.max_depth, cfg.slots,
             cfg.init_r2, newton_fn=newton_fn, pixel_offset=fi * ray_shard,
         )
+        if hp_sharded:
+            # --- hit points stay LOCAL; deposits ride the ring ---
+            from .ring import photon_rounds_ring
+
+            kshard = jax.random.split(kp)[0]
+            hp, _ = photon_rounds_ring(
+                scene, kshard, hp_local, cfg.rounds, local_photons,
+                PHOTON_AXIS, cfg.max_depth, cfg.update_mode, deposit_fn,
+                newton_fn,
+            )
+            # Partial image from the local shard (pixel ids are global);
+            # summed over the photon axis below via the same pass psum.
+            img = estimate_image(hp, R, cfg.rounds * cfg.photons_per_round)
+            img = jax.lax.psum(img, PHOTON_AXIS)
+            img = jax.lax.psum(img, PASS_AXIS) / n_pass
+            return img
         # Replicate hit points across the group (ICI all-gather).
         hp = jax.tree.map(
             lambda x: jax.lax.all_gather(x, PHOTON_AXIS, axis=0, tiled=True),
@@ -113,7 +137,8 @@ def make_sharded_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
 
 def render_sharded(cfg: RenderConfig, mesh: Mesh | None = None,
                    scene: Scene | None = None, deposit_fn=None,
-                   newton_fn=None, camera_pose=None):
+                   newton_fn=None, camera_pose=None,
+                   hp_sharded: bool = False):
     """Full sharded progressive render (host loop over super-passes).
 
     Each jit call renders ``n_pass`` jittered passes at once; the host loop
@@ -134,7 +159,7 @@ def render_sharded(cfg: RenderConfig, mesh: Mesh | None = None,
 
     n_pass = mesh.shape[PASS_AXIS]
     fn = make_sharded_pass_fn(scene, cfg, base_pos, base_look, mesh,
-                              deposit_fn, newton_fn)
+                              deposit_fn, newton_fn, hp_sharded=hp_sharded)
     n_super = max(1, (cfg.passes + n_pass - 1) // n_pass)
     photons_per_super = (
         n_pass * cfg.rounds * cfg.photons_per_round * scene.light_pos.shape[0]

@@ -33,22 +33,44 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_cpp(res: int, photons: int, dump: str) -> dict:
+def dump_atlas(scene, path: str) -> None:
+    """Write the scene's texture atlas for the C++ side (int32 n; per tex
+    int32 H, W; H*W*3 float32) — the SAME procedural texels the JAX render
+    samples, so the textured crossval compares transport, not assets."""
+    import numpy as np
+
+    atlas = np.asarray(scene.atlas, np.float32)          # (T, H, W, 3)
+    with open(path, "wb") as f:
+        f.write(np.asarray([atlas.shape[0]], np.int32).tobytes())
+        for t in range(atlas.shape[0]):
+            f.write(np.asarray(atlas.shape[1:3], np.int32).tobytes())
+            f.write(np.ascontiguousarray(atlas[t]).tobytes())
+
+
+def run_cpp(res: int, photons: int, dump: str, texbin: str | None = None,
+            onetime: int = 100, update_mode: str = "reference") -> dict:
     src = os.path.join(REPO, "native", "baseline_sppm.cpp")
     exe = os.path.join(REPO, "native", "baseline_sppm")
     if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
         subprocess.run(["g++", "-O3", "-march=native", "-fopenmp",
                         "-std=c++17", src, "-o", exe], check=True)
-    rounds = max(photons // 100, 1)
+    rounds = max(photons // onetime, 1)
+    # live-sppm runs a single chain (the radius trajectory is sequential);
+    # reference mode keeps the reference's per-thread independent pass split
+    threads = 1 if update_mode == "sppm" else (os.cpu_count() or 1)
     out = subprocess.run(
         [exe, os.path.join(REPO, "assets", "teapot.bpt"), str(res),
-         str(rounds), str(os.cpu_count() or 1), dump],
+         str(rounds), str(threads), dump, texbin or "-", str(onetime),
+         "sppm" if update_mode == "sppm" else "ref"],
         check=True, capture_output=True, text=True, timeout=7200,
     ).stdout.strip()
     return json.loads(out.splitlines()[-1])
 
 
-def run_jax(res: int, photons: int, platform: str | None, seed: int = 0):
+def run_jax(res: int, photons: int, platform: str | None, seed: int = 0,
+            scene_name: str = "full_flat", update_mode: str = "reference",
+            per_round_cap: int = 131072, atlas_res: int = 16,
+            texdump: str | None = None):
     import jax
 
     if platform:
@@ -62,16 +84,18 @@ def run_jax(res: int, photons: int, platform: str | None, seed: int = 0):
     from raytrace3_tpu.ops.grid import make_grid_deposit
     from raytrace3_tpu.utils.config import RenderConfig
 
-    per_round = min(photons, 131072)
+    per_round = min(photons, per_round_cap)
     rounds = max(photons // per_round, 1)
     cfg = RenderConfig(
-        scene="full_flat", width=res, height=res, rounds=rounds,
-        photons_per_round=per_round, max_depth=13, atlas_res=16,
-        update_mode="reference",  # fixed radius, as the reference executes
+        scene=scene_name, width=res, height=res, rounds=rounds,
+        photons_per_round=per_round, max_depth=13, atlas_res=atlas_res,
+        update_mode=update_mode,
         bezier_compact_frac=0.12, bezier_compact_frac_photon=0.06,
         hitpoint_factor=1.5,
     )
     scene = build_scene(cfg)
+    if texdump:
+        dump_atlas(scene, texdump)
     cam = look_at(jnp.asarray([50.0, 35.0, 230.0], jnp.float32),
                   jnp.asarray([50.0, 35.042612, 229.0], jnp.float32),
                   res, res)
@@ -84,7 +108,7 @@ def run_jax(res: int, photons: int, platform: str | None, seed: int = 0):
         scene, org, dirs, k,
         hitpoint_capacity=cfg.hitpoint_capacity,
         n_rounds=rounds, photons_per_round=per_round,
-        max_depth=cfg.max_depth, update_mode="reference",
+        max_depth=cfg.max_depth, update_mode=update_mode,
         deposit_fn=deposit_fn,
         photon_scene=photon_scene,
     ))
@@ -126,26 +150,56 @@ def main() -> int:
     ap.add_argument("--platform", default=None)
     ap.add_argument("--block", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default=os.path.join(REPO, "docs", "CROSSVAL.json"))
+    ap.add_argument("--textures", action="store_true",
+                    help="crossval the TEXTURED full scene: the JAX atlas "
+                         "is dumped for the C++ side, which samples it "
+                         "through the same UV quirk rules (VERDICT item 6)")
+    ap.add_argument("--update-mode", choices=["reference", "sppm"],
+                    default="reference",
+                    help="sppm = LIVE textbook radius shrink on BOTH sides "
+                         "with matched round batching (single C++ chain)")
+    ap.add_argument("--out", default=None)
     ap.add_argument("--skip-cpp", action="store_true",
                     help="reuse an existing dump from a previous run")
     args = ap.parse_args()
 
     import numpy as np
 
-    dump = os.path.join("/tmp", f"crossval_cpp_{args.res}.bin")
+    scene_name = "full" if args.textures else "full_flat"
+    atlas_res = 64 if args.textures else 16
+    tag = ("_tex" if args.textures else "") + (
+        "_sppm" if args.update_mode == "sppm" else "")
+    if args.out is None:
+        args.out = os.path.join(REPO, "docs", f"CROSSVAL{tag.upper()}.json")
+    per_round_cap = 65536 if args.update_mode == "sppm" else 131072
+    onetime = per_round_cap if args.update_mode == "sppm" else 100
+
+    texbin = None
+    if args.textures:
+        # Dump the EXACT atlas the JAX render will sample (deterministic
+        # procedural textures at this atlas_res).
+        texbin = os.path.join("/tmp", f"crossval_atlas_{atlas_res}.bin")
+        from raytrace3_tpu.scenes import get_scene
+
+        dump_atlas(get_scene(scene_name, atlas_res=atlas_res), texbin)
+
+    dump = os.path.join("/tmp", f"crossval_cpp_{args.res}{tag}.bin")
     if not (args.skip_cpp and os.path.exists(dump)):
-        print(f"crossval: C++ side ({args.photons} photons @ {args.res}^2)...",
+        print(f"crossval: C++ side ({args.photons} photons @ {args.res}^2, "
+              f"{scene_name}, {args.update_mode})...",
               file=sys.stderr, flush=True)
-        cpp_stats = run_cpp(args.res, args.photons, dump)
+        cpp_stats = run_cpp(args.res, args.photons, dump, texbin=texbin,
+                            onetime=onetime, update_mode=args.update_mode)
         print(f"crossval: C++ {cpp_stats}", file=sys.stderr, flush=True)
     else:
         cpp_stats = {"reused": True}
     cpp = np.fromfile(dump, dtype=np.float32).reshape(args.res, args.res, 3)
 
     print("crossval: JAX side ...", file=sys.stderr, flush=True)
-    ours, stats, dt, emitted = run_jax(args.res, args.photons, args.platform,
-                                       args.seed)
+    ours, stats, dt, emitted = run_jax(
+        args.res, args.photons, args.platform, args.seed,
+        scene_name=scene_name, update_mode=args.update_mode,
+        per_round_cap=per_round_cap, atlas_res=atlas_res)
     print(f"crossval: JAX pass {dt:.1f}s, {stats}", file=sys.stderr, flush=True)
 
     po, pc = pool(ours, args.block), pool(cpp, args.block)
@@ -159,11 +213,13 @@ def main() -> int:
     psnr = 10.0 * np.log10(1.0 / mse) if mse > 0 else float("inf")
 
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
-    save_png(os.path.join(REPO, "docs", "crossval_jax.png"), ours)
-    save_png(os.path.join(REPO, "docs", "crossval_cpp.png"), cpp)
+    save_png(os.path.join(REPO, "docs", f"crossval_jax{tag}.png"), ours)
+    save_png(os.path.join(REPO, "docs", f"crossval_cpp{tag}.png"), cpp)
 
     record = {
-        "scene": "full_flat (mirror+glass spheres, mirror wall, teapot)",
+        "scene": f"{scene_name} (mirror+glass spheres, mirror wall, teapot)"
+                 + (" TEXTURED via shared atlas dump" if args.textures else ""),
+        "update_mode": args.update_mode,
         "res": args.res,
         "photons_each": int(emitted),
         "block": args.block,

@@ -19,13 +19,17 @@ random numbers make central finite differences exact up to float32 roundoff
 and true estimator discontinuities (silhouette shifts, roulette branch
 flips).  For each parameter group we FD-check the coordinates with the
 largest |AD| gradient (strong signal vs f32 noise) plus a random sample,
-and score agreement at 15% relative / small-absolute tolerance.  A
-coordinate whose perturbation crosses a discontinuity legitimately fails;
-the pass-rate criterion is >= 90% per group.
+and score agreement at the per-group tolerance (recorded in the JSON).  A
+coordinate whose perturbation crosses a discontinuity legitimately fails.
+
+Pass criterion (enforced in record["pass"], VERDICT/ADVICE round 2): EVERY
+group's pass rate >= 90% AND every group has at least MIN_CHECKED scored
+(non-excluded) coordinates — a 1/1 group can no longer carry the headline.
+All groups (ctrl, atlas, diff) run under BOTH Newton backends.
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/gradcheck.py \
-      [--res 24] [--photons 4096] [--rounds 2] [--out GRADCHECK.json]
+      [--res 32] [--photons 8192] [--rounds 2] [--out GRADCHECK.json]
 """
 
 from __future__ import annotations
@@ -49,6 +53,10 @@ REL_TOL = 0.15
 #: can certify for ctrl at f32 is sign + magnitude, not 15% precision.
 REL_TOL_CTRL = 0.4
 ABS_TOL = 1e-5
+#: Minimum scored (non-excluded) coordinates per group — below this the
+#: group is "insufficient" and the whole record fails (ADVICE round 2: the
+#: round-2 ctrl[jnp] group validated a single coordinate).
+MIN_CHECKED = {"ctrl": 8, "atlas": 5, "diff": 4}
 
 
 def check_group(loss, params, name, coords, eps, grads):
@@ -175,27 +183,30 @@ def run(res, photons, rounds, newton_backend, seed):
     rng = np.random.default_rng(seed)
     groups = {}
     # ctrl: the headline group — d(image)/d(control points) through the
-    # Newton solve on a curved patch (Bezier.h:112-159 analogue).
+    # Newton solve on a curved patch (Bezier.h:112-159 analogue).  The
+    # candidate set is sized so that >= MIN_CHECKED coordinates survive the
+    # discontinuity/low-signal exclusions at the default resolution.
     groups["ctrl"] = check_group(
         loss, params, "ctrl",
-        pick_coords(grads["ctrl"], n_top=10, n_rand=6, rng=rng),
+        pick_coords(grads["ctrl"], n_top=16, n_rand=8, rng=rng),
         eps=5e-4, grads=grads)
-    if newton_backend == "jnp":   # shading-path groups are backend-invariant
-        groups["atlas"] = check_group(
-            loss, params, "atlas",
-            pick_coords(grads["atlas"], n_top=6, n_rand=4, rng=rng),
-            eps=2e-2, grads=grads)
-        groups["diff"] = check_group(
-            loss, params, "diff",
-            pick_coords(grads["diff"], n_top=4, n_rand=2, rng=rng),
-            eps=1e-2, grads=grads)
+    # Shading-path groups run under BOTH backends (round 2 asserted
+    # backend-invariance without showing it — VERDICT weak item 2).
+    groups["atlas"] = check_group(
+        loss, params, "atlas",
+        pick_coords(grads["atlas"], n_top=8, n_rand=4, rng=rng),
+        eps=2e-2, grads=grads)
+    groups["diff"] = check_group(
+        loss, params, "diff",
+        pick_coords(grads["diff"], n_top=5, n_rand=2, rng=rng),
+        eps=1e-2, grads=grads)
     return groups
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--res", type=int, default=24)
-    ap.add_argument("--photons", type=int, default=4096)
+    ap.add_argument("--res", type=int, default=32)
+    ap.add_argument("--photons", type=int, default=8192)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backends", default="jnp,pallas")
@@ -205,9 +216,12 @@ def main() -> int:
     record = {"scene": "bezier_patch (curved teapot body patch 4)",
               "res": args.res,
               "photons": args.photons * args.rounds,
-              "rel_tol": REL_TOL, "groups": {}}
+              "rel_tol": {"ctrl": REL_TOL_CTRL, "atlas": REL_TOL,
+                          "diff": REL_TOL},
+              "min_checked": MIN_CHECKED, "groups": {}}
     t0 = time.time()
     all_checked = all_passed = 0
+    groups_ok = []
     for backend in args.backends.split(","):
         groups = run(args.res, args.photons, args.rounds, backend, args.seed)
         for name, results in groups.items():
@@ -225,19 +239,30 @@ def main() -> int:
             p = sum(r.get("pass", False) for r in scored)
             all_checked += n
             all_passed += p
+            sufficient = n >= MIN_CHECKED.get(name, 4) and not vacuous
+            rate = p / n
+            group_pass = sufficient and rate >= 0.9
+            groups_ok.append(group_pass)
             record["groups"][f"{name}[{backend}]"] = {
                 "checked": n, "passed": p,
                 "discont_excluded": len(results) - len(scored),
-                "pass_rate": round(p / n, 3),
+                "pass_rate": round(rate, 3),
+                "sufficient": sufficient,
+                "group_pass": group_pass,
                 "checks": results,
             }
-            print(f"gradcheck: {name}[{backend}] {p}/{n}", file=sys.stderr,
-                  flush=True)
+            print(f"gradcheck: {name}[{backend}] {p}/{n} "
+                  f"{'ok' if group_pass else 'FAIL'}",
+                  file=sys.stderr, flush=True)
     record["checked"] = all_checked
     record["passed"] = all_passed
     record["grad_check_pass_rate"] = round(all_passed / all_checked, 4)
     record["seconds"] = round(time.time() - t0, 1)
-    record["pass"] = record["grad_check_pass_rate"] >= 0.9
+    # The documented criterion: every group >= 0.9 with enough scored
+    # coordinates, not just the pooled aggregate (ADVICE round 2, medium).
+    record["pass"] = bool(
+        all(groups_ok) and record["grad_check_pass_rate"] >= 0.9
+    )
 
     with open(args.out, "w") as f:
         json.dump(record, f, indent=2)

@@ -62,11 +62,12 @@ def main() -> int:
 
     from raytrace3_tpu.core.types import Deposits, make_hitpoints
     from raytrace3_tpu.ops.deposit_pallas import (PallasDeposit,
-                                                  PallasDepositLane)
+                                                  PallasDepositLane,
+                                                  PallasDepositTile)
 
     segs, N = 14, 131072
-    D = segs * N
-    C = int(512 * 512 * 1.3)
+    D = int(os.environ.get("RT3_SWEEP_D", segs * N))
+    C = int(os.environ.get("RT3_SWEEP_C", int(512 * 512 * 1.3)))
     rng = np.random.default_rng(0)
 
     dep = Deposits(
@@ -80,23 +81,27 @@ def main() -> int:
                     valid=jnp.ones((C,), bool))
 
     bounds = dict(x_lo=-4.0, x_hi=104.0, z_lo=-4.0, z_hi=184.0)
-    L = PallasDepositLane
+    b1 = dict(x_lo=-4.0, x_hi=104.0)
+    T = PallasDepositTile
+    # Round-3 sweep #3: the flat work-item grid lost everywhere (sweep #2:
+    # ~0.7us Pallas grid tax x 26-131k chunks); the tile-loop kernel walks
+    # chunks in an in-kernel fori_loop, so small tiles (fewer PAIRS via
+    # narrower y windows) and large chunks (fewer DMA trips) can finally
+    # combine.
     configs = [
         ("1d_t512_wc1024_W16k", dict(tile=512, wchunk=1024, work_cap=16384)),
-        ("lane2d_t256_ch512_W16k", dict(cls=L, tile=256, chunk=512,
-                                        work_cap=16384, **bounds)),
-        ("lane2d_t256_ch256_W24k", dict(cls=L, tile=256, chunk=256,
-                                        work_cap=24576, **bounds)),
-        ("lane2d_t512_ch512_W12k", dict(cls=L, tile=512, chunk=512,
-                                        work_cap=12288, **bounds)),
-        ("lane2d_t256_ch512_W24k_nomerge", dict(cls=L, tile=256, chunk=512,
-                                                work_cap=24576, merge_z=False,
-                                                **bounds)),
-        ("lane1d_t512_ch512_W16k", dict(cls=L, tile=512, chunk=512,
-                                        work_cap=16384, bucket2d=False,
-                                        x_lo=-4.0, x_hi=104.0)),
-        ("lane2d_t128_ch512_W24k", dict(cls=L, tile=128, chunk=512,
-                                        work_cap=24576, **bounds)),
+        ("tile1d_t512_ch1024", dict(cls=T, tile=512, chunk=1024,
+                                    bucket2d=False, **b1)),
+        ("tile1d_t256_ch1024", dict(cls=T, tile=256, chunk=1024,
+                                    bucket2d=False, **b1)),
+        ("tile1d_t128_ch1024", dict(cls=T, tile=128, chunk=1024,
+                                    bucket2d=False, **b1)),
+        ("tile1d_t256_ch512", dict(cls=T, tile=256, chunk=512,
+                                   bucket2d=False, **b1)),
+        ("tile2d_t128_ch512_nomerge", dict(cls=T, tile=128, chunk=512,
+                                           merge_z=False, **bounds)),
+        ("tile2d_t128_ch1024_merge", dict(cls=T, tile=128, chunk=1024,
+                                          **bounds)),
     ]
     sel = os.environ.get("RT3_SWEEP")
     if sel:

@@ -61,11 +61,28 @@ def test_grid_matches_bruteforce(rng):
     hp, dep = _random_case(rng)
     grid_fn = make_grid_deposit(lo=(-1, -1, -1), hi=(42, 42, 42),
                                 max_per_cell=256)
-    gc, gt = jax.jit(grid_fn)(hp, dep)
+    assert grid_fn.returns_aux
+    gc, gt, ovf = jax.jit(grid_fn)(hp, dep)
+    assert int(ovf) == 0
     bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(bc), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
                                rtol=2e-4, atol=1e-4)
+
+
+def test_grid_overflow_is_reported(rng):
+    """max_per_cell too small -> a nonzero overflow count, not silence
+    (VERDICT round 2 weak item 3)."""
+    hp, dep = _random_case(rng)
+    # cluster deposits so cells genuinely overfill
+    dep = dep.replace(pos=jnp.asarray(
+        np.asarray(dep.pos) * 0.05 + 20.0, jnp.float32))
+    grid_small = make_grid_deposit(lo=(-1, -1, -1), hi=(42, 42, 42),
+                                   max_per_cell=2)
+    gc, gt, ovf = jax.jit(grid_small)(hp, dep)
+    assert int(ovf) > 0
+    bc, _ = jax.jit(deposit_bruteforce)(hp, dep)
+    assert (np.asarray(gc) <= np.asarray(bc) + 1e-6).all()  # subset, not junk
 
 
 def test_grid_chunk_invariance(rng):
@@ -81,7 +98,8 @@ def test_empty_deposits(rng):
     hp, dep = _random_case(rng, C=50, D=100)
     dep = dep.replace(valid=jnp.zeros_like(dep.valid))
     for fn in (deposit_bruteforce, make_grid_deposit(lo=(-1,) * 3, hi=(42,) * 3)):
-        cnt, tao = fn(hp, dep)
+        out = fn(hp, dep)
+        cnt, tao = out[0], out[1]
         assert float(jnp.abs(cnt).sum()) == 0.0
         assert float(jnp.abs(tao).sum()) == 0.0
 
@@ -239,26 +257,29 @@ def _lane_kw():
 
 
 def test_lane_deposit_matches_bruteforce(rng):
-    """Lane-granular kernel (round 3): bit-exact counts vs the oracle on
-    uniform + adversarial wall distributions, in all three banding modes."""
-    from raytrace3_tpu.ops.deposit_pallas import PallasDepositLane
+    """Lane-granular + tile-loop kernels (round 3): bit-exact counts vs the
+    oracle on uniform + adversarial wall distributions, all banding modes."""
+    from raytrace3_tpu.ops.deposit_pallas import (PallasDepositLane,
+                                                  PallasDepositTile)
 
     for hp, dep in (_random_case(rng, C=400, D=900), _wall_case(rng)):
         bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
-        for mode in ("merge", "nomerge", "1d"):
-            kw = _lane_kw()
-            if mode == "nomerge":
-                kw["merge_z"] = False
-            if mode == "1d":
-                kw["bucket2d"] = False
-                kw.pop("z_lo"), kw.pop("z_hi")
-            pd = PallasDepositLane(work_cap=8192, **kw)
-            gc, gt, ovf = jax.jit(pd)(hp, dep)
-            assert int(ovf) == 0, mode
-            np.testing.assert_allclose(np.asarray(gc), np.asarray(bc),
-                                       rtol=1e-5, err_msg=mode)
-            np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
-                                       rtol=2e-4, atol=1e-4, err_msg=mode)
+        for cls in (PallasDepositLane, PallasDepositTile):
+            for mode in ("merge", "nomerge", "1d"):
+                kw = _lane_kw()
+                if mode == "nomerge":
+                    kw["merge_z"] = False
+                if mode == "1d":
+                    kw["bucket2d"] = False
+                    kw.pop("z_lo"), kw.pop("z_hi")
+                pd = cls(work_cap=8192, **kw)
+                tag = f"{cls.__name__}/{mode}"
+                gc, gt, ovf = jax.jit(pd)(hp, dep)
+                assert int(ovf) == 0, tag
+                np.testing.assert_allclose(np.asarray(gc), np.asarray(bc),
+                                           rtol=1e-5, err_msg=tag)
+                np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                                           rtol=2e-4, atol=1e-4, err_msg=tag)
 
 
 def test_lane_deposit_prepared_reuse(rng):
@@ -302,11 +323,14 @@ def test_lane_deposit_vjp_matches_bruteforce_vjp(rng):
     VJP (diff/vjp.py) exactly — same box-kernel a.e.-zero convention for
     positions/normals/radii (VERDICT round 2 item 4)."""
     from raytrace3_tpu.diff.vjp import deposit_bruteforce_vjp
-    from raytrace3_tpu.ops.deposit_pallas import PallasDepositLane
+    from raytrace3_tpu.ops.deposit_pallas import (PallasDepositLane,
+                                                  PallasDepositTile)
 
-    for hp, dep in (_random_case(rng, C=300, D=700), _wall_case(rng)):
-        pd = PallasDepositLane(work_cap=8192, differentiable=True,
-                               **_lane_kw())
+    for cls, case in ((PallasDepositLane, _random_case(rng, C=300, D=700)),
+                      (PallasDepositLane, _wall_case(rng)),
+                      (PallasDepositTile, _random_case(rng, C=300, D=700))):
+        hp, dep = case
+        pd = cls(work_cap=8192, differentiable=True, **_lane_kw())
         tgt = jnp.asarray(
             np.random.default_rng(7).normal(
                 size=(hp.capacity, 3)).astype(np.float32))

@@ -115,3 +115,28 @@ def test_render_sharded_end_to_end():
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all() and img.max() > 0
     assert metrics["meter"]["passes"] == 1  # 2 passes in 1 super-pass
+
+
+def test_render_sharded_hp_sharded_ring():
+    """VERDICT round 2 item 8: the ring (hit-point-sharded) path must be
+    reachable from render_sharded and consistent with the replicated path.
+
+    The two modes use different photon key schedules so images are not
+    bitwise equal; they estimate the SAME integral, so with a moderate
+    budget their block means agree closely and determinism holds exactly.
+    """
+    cfg = TINY.replace(passes=1, rounds=4, photons_per_round=4096)
+    mesh = make_mesh(1, 8)
+    ring_img, _ = render_sharded(cfg, mesh=mesh, hp_sharded=True)
+    ring_img2, _ = render_sharded(cfg, mesh=mesh, hp_sharded=True)
+    np.testing.assert_array_equal(ring_img, ring_img2)  # deterministic
+    rep_img, _ = render_sharded(cfg, mesh=mesh)
+    assert np.isfinite(ring_img).all() and ring_img.max() > 0
+    # A wiring bug (double-counted ring hop, missing shard) shifts total
+    # flux by an O(1) factor; photon noise at this budget is a few percent
+    # on the global mean and ~20% per 4x4 block.
+    assert abs(ring_img.mean() - rep_img.mean()) / rep_img.mean() < 0.08
+    blk = lambda a: a.reshape(4, 4, 4, 4, 3).mean((1, 3))
+    b_ring, b_rep = blk(ring_img), blk(rep_img)
+    denom = np.maximum(b_rep.mean(), 1e-6)
+    assert np.abs(b_ring - b_rep).mean() / denom < 0.35

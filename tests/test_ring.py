@@ -37,7 +37,7 @@ def test_ring_matches_replicated(key):
         fi = jax.lax.axis_index(PHOTON_AXIS)
         hp_local, _ = eye_pass(scene, org_s, dir_s, local_cap, CFG.max_depth,
                                pixel_offset=fi * ray_shard)
-        hp_local = photon_rounds_ring(
+        hp_local, _drops = photon_rounds_ring(
             scene, key, hp_local, CFG.rounds, local_photons, PHOTON_AXIS,
             CFG.max_depth, CFG.update_mode,
         )
