@@ -813,6 +813,10 @@ class PallasDepositLane(PallasDeposit):
 
 def _tile_loop_kernel(sk_ref, ek_ref, hp_ref, dep_hbm, out_ref,
                       acc_ref, dbuf, sems, *, K: int, ch: int, Dp: int):
+    # NB: sk/ek arrive FLATTENED (n_tiles * K,): 2-D SMEM prefetch operands
+    # are padded to 512 B per ROW (128 int32 lanes), so (n_tiles, 3) cost
+    # n_tiles x 512 B and blew the 1 MB SMEM budget at tile <= 256 (measured:
+    # "Used 1.34M of 1.00M smem", u8[704512] per operand at t=256).
     """One grid step per hit-point TILE; a dynamic in-kernel loop walks the
     tile's candidate lane chunks with double-buffered DMA.
 
@@ -826,8 +830,8 @@ def _tile_loop_kernel(sk_ref, ek_ref, hp_ref, dep_hbm, out_ref,
     floor(sk/128)*128, masked to the exact interval as before.
     """
     i = pl.program_id(0)
-    s_k = [sk_ref[i, k] for k in range(K)]
-    e_k = [ek_ref[i, k] for k in range(K)]
+    s_k = [sk_ref[i * K + k] for k in range(K)]
+    e_k = [ek_ref[i * K + k] for k in range(K)]
     a0_k = [(s // 128) * 128 for s in s_k]
     n_k = [jnp.where(e > s, (e - a + ch - 1) // ch, 0)
            for s, e, a in zip(s_k, e_k, a0_k)]
@@ -958,7 +962,8 @@ class PallasDepositTile(PallasDepositLane):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((c_pad, 8), jnp.float32),
             interpret=self.interpret,
-        )(sk.astype(jnp.int32), ek.astype(jnp.int32), packed, dep_packed)
+        )(sk.astype(jnp.int32).reshape(-1),
+          ek.astype(jnp.int32).reshape(-1), packed, dep_packed)
 
         res = out[prep.g]                                   # (C, 8)
         cnt = res[:, 0]

@@ -70,6 +70,7 @@ def photon_rounds(
     deposit_compact_frac: float = 1.0,
     debias_roulette: bool = False,
     regen: bool = False,
+    fused: bool = False,
 ):
     """Run the photon-mapping rounds (reference PhotonMap, Raytracer.h:210-295).
 
@@ -138,6 +139,7 @@ def photon_rounds(
                 scene, k, scene.light_pos, scene.light_color,
                 photons_per_round, pstate, max_depth,
                 debias_roulette=debias_roulette, newton_fn=newton_fn,
+                fused=fused,
             )
             dep, dropped = compact(dep)
             d_n, d_tao, ovf = dep_call(hp, dep)
@@ -163,7 +165,7 @@ def photon_rounds(
         )
         dep = photon_trace(scene, kt, org, dir, flux, max_depth,
                            debias_roulette=debias_roulette,
-                           newton_fn=newton_fn)
+                           newton_fn=newton_fn, fused=fused)
         dep, dropped = compact(dep)
         d_n, d_tao, ovf = dep_call(hp, dep)
         return (fold(hp, d_n, d_tao), drops + dropped + ovf), None
@@ -209,6 +211,7 @@ def render_pass(
     photon_scene: Scene | None = None,
     photon_regen: bool = False,
     eye_compact_schedule: tuple = (),
+    fused_walk: bool = False,
 ):
     """One full SPPM pass: eye trace -> photon rounds -> pixel estimate.
 
@@ -220,7 +223,7 @@ def render_pass(
     hp, stats = eye_pass(
         scene, cam_org, cam_dir, hitpoint_capacity, max_depth, slots,
         init_r2, newton_fn=newton_fn,
-        compact_schedule=eye_compact_schedule,
+        compact_schedule=eye_compact_schedule, fused=fused_walk,
     )
     # The photon pass may use different static tuning (e.g. a much smaller
     # Bezier ray-compaction fraction: photons hit the teapot AABB on ~1% of
@@ -231,7 +234,7 @@ def render_pass(
         update_mode, deposit_fn, newton_fn,
         deposit_compact_frac=deposit_compact_frac,
         debias_roulette=debias_roulette,
-        regen=photon_regen,
+        regen=photon_regen, fused=fused_walk,
     )
     img = estimate_image(hp, cam_org.shape[0], emitted)
     stats = dict(stats)

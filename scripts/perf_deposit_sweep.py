@@ -140,7 +140,7 @@ def main() -> int:
                 )(hp, dep)))
             print(json.dumps(rec), flush=True)
         except Exception as e:
-            print(json.dumps({"cfg": name, "error": str(e)[:200]}),
+            print(json.dumps({"cfg": name, "error": str(e)[-6000:]}),
                   flush=True)
     return 0
 
