@@ -369,23 +369,65 @@ class PallasDeposit:
             prev_e = e_k
         return jnp.stack(s_cols, 1), jnp.stack(e_cols, 1)
 
+    # -- layout-space interface (state packed for the whole pass) ----------
+    def pack_state(self, hp: HitPoints, prep: HpLayout):
+        """Scatter per-pass hit-point state into layout space ONCE.
+
+        Returns (r2_pad, wgt_pad): the rounds loop then runs entirely in
+        layout space (``packed_call`` + elementwise PPM updates), unpacking
+        once at pass end — the per-round (C, 8) result gather and (C,)
+        r2-refresh scatter (both per-index costs) disappear.
+        """
+        c_pad = self._c_pad(hp.capacity)
+        r2_pad = jnp.full((c_pad,), -1.0, jnp.float32).at[prep.g].set(
+            jnp.where(hp.valid, hp.r2, -1.0), unique_indices=True,
+            mode="drop",
+        )
+        wgt_pad = jnp.zeros((c_pad, 3), jnp.float32).at[prep.g].set(
+            hp.wgt, unique_indices=True, mode="drop",
+        )
+        return r2_pad, wgt_pad
+
+    def unpack_state(self, prep: HpLayout, *cols):
+        """Gather layout-space per-hit-point arrays back to hp order."""
+        return tuple(c[prep.g] for c in cols)
+
+    def packed_call(self, r2_pad: jnp.ndarray, dep: Deposits,
+                    prep: HpLayout):
+        """Layout-space deposit: (cnt_pad, flux_pad, overflow).
+
+        ``flux_pad`` is the raw neighbour-flux sum; the caller applies
+        wgt * flux / pi with its layout-space wgt (Raytracer.h:156).
+        Invalid/padding slots carry r2 = -1 so the d2 <= r2 test kills
+        them — no valid mask is needed in layout space.
+        """
+        packed = prep.packed.at[:, 6].set(r2_pad)
+        return self._kernel_call(packed, dep, prep)
+
     # -- per round ---------------------------------------------------------
     def __call__(self, hp: HitPoints, dep: Deposits,
                  prep: HpLayout | None = None):
         if prep is None:
             prep = self.prepare(hp)
-        t, wc = self.tile, self.wchunk
-        C = hp.capacity
-        c_pad = self._c_pad(C)
-        n_tiles = c_pad // t
-        W = self.work_cap
-        assert W >= n_tiles + 1, (
-            f"work_cap {W} must exceed the tile count {n_tiles}"
-        )
 
         # refresh the per-round r2 slot (radius shrink between rounds)
         packed = prep.packed.at[prep.g, 6].set(
             jnp.where(hp.valid, hp.r2, -1.0), unique_indices=True
+        )
+        cnt_pad, fl_pad, overflow = self._kernel_call(packed, dep, prep)
+        res_cnt, res_fl = self.unpack_state(prep, cnt_pad, fl_pad)
+        d_tao = hp.wgt * res_fl / jnp.pi                    # Raytracer.h:156
+        return res_cnt, d_tao, overflow
+
+    def _kernel_call(self, packed: jnp.ndarray, dep: Deposits,
+                     prep: HpLayout):
+        """(cnt_pad, flux_pad, overflow) in layout space."""
+        t, wc = self.tile, self.wchunk
+        c_pad = packed.shape[0]
+        n_tiles = c_pad // t
+        W = self.work_cap
+        assert W >= n_tiles + 1, (
+            f"work_cap {W} must exceed the tile count {n_tiles}"
         )
 
         dkeys, d_ord, dep_packed, Dp = self._dep_sorted(dep, wc)
@@ -473,12 +515,9 @@ class PallasDeposit:
         handled = (cum - items) < W                         # (n_tiles,)
         out = jnp.where(handled[:, None, None],
                         out.reshape(n_tiles, t, 8), 0.0).reshape(c_pad, 8)
-        res = out[prep.g]                                   # (C, 8) one gather
-        cnt = res[:, 0]
-        d_tao = hp.wgt * res[:, 1:4] / jnp.pi               # Raytracer.h:156
         # Upper bound on candidate lanes in work items beyond the cap.
         overflow = jnp.maximum(total - W, 0).astype(jnp.int32) * wc
-        return cnt, d_tao, overflow
+        return out[:, 0], out[:, 1:4], overflow
 
 
 def _lane_kernel(wt_ref, wf_ref, wa_ref, wb_ref, hp_ref, dep_hbm, out_ref,
@@ -682,15 +721,21 @@ class PallasDepositLane(PallasDeposit):
                       prep: HpLayout | None = None):
         if prep is None:
             prep = self.prepare(hp)
-        t, ch = self.tile, self.chunk
-        C = hp.capacity
-        c_pad = self._c_pad(C)
-        n_tiles = c_pad // t
-        W = self.work_cap
-
         packed = prep.packed.at[prep.g, 6].set(
             jnp.where(hp.valid, hp.r2, -1.0), unique_indices=True
         )
+        cnt_pad, fl_pad, overflow = self._kernel_call(packed, dep, prep)
+        cnt, fl = self.unpack_state(prep, cnt_pad, fl_pad)
+        d_tao = hp.wgt * fl / jnp.pi                        # Raytracer.h:156
+        return cnt, d_tao, overflow, fl
+
+    def _kernel_call(self, packed: jnp.ndarray, dep: Deposits,
+                     prep: HpLayout):
+        t, ch = self.tile, self.chunk
+        c_pad = packed.shape[0]
+        n_tiles = c_pad // t
+        W = self.work_cap
+
         dkeys, d_ord, dep_packed, Dp = self._dep_sorted(dep, ch)
         sk, ek = self._window_lanes(prep, dkeys, n_tiles)   # (n_tiles, K)
         wt, f, wa, wb, nc_tile, cum, total = self._build_items(
@@ -725,12 +770,8 @@ class PallasDepositLane(PallasDeposit):
         handled = (nc_tile > 0) & ((cum - nc_tile) < W)
         out = jnp.where(handled[:, None, None],
                         out.reshape(n_tiles, t, 8), 0.0).reshape(c_pad, 8)
-        res = out[prep.g]                                   # (C, 8) one gather
-        cnt = res[:, 0]
-        fl = res[:, 1:4]                                    # sum of nbr flux
-        d_tao = hp.wgt * fl / jnp.pi                        # Raytracer.h:156
         overflow = jnp.maximum(total - W, 0).astype(jnp.int32) * ch
-        return cnt, d_tao, overflow, fl
+        return out[:, 0], out[:, 1:4], overflow
 
     def _backward_flux(self, hp: HitPoints, dep: Deposits, prep: HpLayout,
                        u: jnp.ndarray) -> jnp.ndarray:
@@ -926,19 +967,13 @@ class PallasDepositTile(PallasDepositLane):
         applies there; it is sized with slack in ``_backward_flux``).
     """
 
-    def _forward_full(self, hp: HitPoints, dep: Deposits,
-                      prep: HpLayout | None = None):
-        if prep is None:
-            prep = self.prepare(hp)
+    def _kernel_call(self, packed: jnp.ndarray, dep: Deposits,
+                     prep: HpLayout):
         t, ch = self.tile, self.chunk
-        C = hp.capacity
-        c_pad = self._c_pad(C)
+        c_pad = packed.shape[0]
         n_tiles = c_pad // t
         K = len(self.win_offs)
 
-        packed = prep.packed.at[prep.g, 6].set(
-            jnp.where(hp.valid, hp.r2, -1.0), unique_indices=True
-        )
         dkeys, d_ord, dep_packed, Dp = self._dep_sorted(dep, ch)
         sk, ek = self._window_lanes(prep, dkeys, n_tiles)   # (n_tiles, K)
 
@@ -965,11 +1000,135 @@ class PallasDepositTile(PallasDepositLane):
         )(sk.astype(jnp.int32).reshape(-1),
           ek.astype(jnp.int32).reshape(-1), packed, dep_packed)
 
-        res = out[prep.g]                                   # (C, 8)
-        cnt = res[:, 0]
-        fl = res[:, 1:4]
-        d_tao = hp.wgt * fl / jnp.pi                        # Raytracer.h:156
-        return cnt, d_tao, jnp.zeros((), jnp.int32), fl
+        # Every tile gets a grid step and writes its out block (the chunk
+        # loop is in-kernel), so no handled-masking and no overflow path.
+        return out[:, 0], out[:, 1:4], jnp.zeros((), jnp.int32)
+
+
+def _stream_kernel(itf_ref, itab_ref, st_ref, en_ref, hp_ref, dep_hbm,
+                   out_ref, acc_ref, dbuf, sems, *, ch: int):
+    """Item-stream tile kernel (round 3 kernel v3): one grid step per tile,
+    in-kernel double-buffered loop over the tile's PRECOMPUTED work items.
+
+    ``_tile_loop_kernel`` recomputes each chunk's (fetch, mask) from the
+    window bounds with ~40 scalar ops (K-way selects + cumulative-count
+    search) — at bench shapes the per-chunk scalar overhead, not the pair
+    math, bounds the kernel (docs/PERF.md round-3 sweep: all tile/chunk
+    shapes land within 10%).  Here the host's ``_build_items`` list is
+    passed straight down: per chunk the kernel does TWO SMEM loads + a
+    shift/mask decode.  SMEM cost is 2 x work_cap x 4 B (1-D arrays;
+    2-D prefetch operands pad each row to 512 B — see _tile_loop_kernel).
+
+    items: itf[j] = 128-aligned fetch address; itab[j] packs the exact
+    lane-mask interval as ((wa - f) << 16) | (wb - f).
+    """
+    i = pl.program_id(0)
+    j0 = st_ref[i]
+    tot = en_ref[i] - j0
+
+    def item(j):
+        f = itf_ref[j]
+        ab = itab_ref[j]
+        return f, f + (ab >> 16), f + (ab & 0xFFFF)
+
+    def dma(slot, j):
+        f = pl.multiple_of(itf_ref[j], 128)
+        return pltpu.make_async_copy(
+            dep_hbm.at[:, pl.ds(f, ch)], dbuf.at[slot], sems.at[slot],
+        )
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(tot > 0)
+    def _():
+        dma(0, j0).start()
+
+        hp = hp_ref[...]                                   # (t, 8)
+
+        def body(jj, _):
+            j = j0 + jj
+            slot = jj % 2
+
+            @pl.when(jj + 1 < tot)
+            def _():
+                dma((jj + 1) % 2, j + 1).start()
+
+            dma(slot, j).wait()
+            f, wa, wb = item(j)
+            dep = dbuf[slot]                               # (16, ch)
+            gidx = f + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+            lane_ok = (gidx >= wa) & (gidx < wb)
+            dx = hp[:, 0:1] - dep[0:1, :]
+            dy = hp[:, 1:2] - dep[1:2, :]
+            dz = hp[:, 2:3] - dep[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz               # (t, ch)
+            ndot = (hp[:, 3:4] * dep[3:4, :]
+                    + hp[:, 4:5] * dep[4:5, :]
+                    + hp[:, 5:6] * dep[5:6, :])
+            m = ((d2 <= hp[:, 6:7]) & (ndot > NORMAL_DOT_MIN)
+                 & lane_ok).astype(jnp.float32)
+            acc_ref[:, 0:1] += jnp.sum(m, axis=1, keepdims=True)
+            acc_ref[:, 1:2] += jnp.sum(m * dep[6:7, :], axis=1,
+                                       keepdims=True)
+            acc_ref[:, 2:3] += jnp.sum(m * dep[7:8, :], axis=1,
+                                       keepdims=True)
+            acc_ref[:, 3:4] += jnp.sum(m * dep[8:9, :], axis=1,
+                                       keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, tot, body, 0)
+
+    out_ref[...] = acc_ref[...]
+
+
+class PallasDepositStream(PallasDepositLane):
+    """Item-stream tile-loop deposit: ``_stream_kernel`` + the Lane work
+    list.  Work items beyond ``work_cap`` are dropped AND reported via the
+    overflow count, exactly like ``PallasDepositLane`` (the stream arrays
+    are static SMEM allocations, so the no-cap property of
+    ``PallasDepositTile`` does not carry over)."""
+
+    def _kernel_call(self, packed: jnp.ndarray, dep: Deposits,
+                     prep: HpLayout):
+        t, ch = self.tile, self.chunk
+        c_pad = packed.shape[0]
+        n_tiles = c_pad // t
+        W = self.work_cap
+
+        dkeys, d_ord, dep_packed, Dp = self._dep_sorted(dep, ch)
+        sk, ek = self._window_lanes(prep, dkeys, n_tiles)
+        wt, f, wa, wb, nc_tile, cum, total = self._build_items(
+            sk, ek, n_tiles, W, Dp, align=128)
+        itab = (jnp.clip(wa - f, 0, 2 * ch) << 16) | jnp.clip(
+            wb - f, 0, 2 * ch)
+        starts = jnp.minimum(cum - nc_tile, W).astype(jnp.int32)
+        ends = jnp.minimum(cum, W).astype(jnp.int32)
+
+        kernel = functools.partial(_stream_kernel, ch=ch)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((t, 8), lambda i, *_: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),       # (16, Dp) HBM
+            ],
+            out_specs=pl.BlockSpec((t, 8), lambda i, *_: (i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((t, 8), jnp.float32),            # accumulator
+                pltpu.VMEM((2, 16, ch), jnp.float32),       # DMA buffers
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((c_pad, 8), jnp.float32),
+            interpret=self.interpret,
+        )(f.astype(jnp.int32), itab.astype(jnp.int32), starts, ends,
+          packed, dep_packed)
+
+        overflow = jnp.maximum(total - W, 0).astype(jnp.int32) * ch
+        return out[:, 0], out[:, 1:4], overflow
 
 
 def _lane_bwd_kernel(wt_ref, wfb_ref, wa_ref, wb_ref, hp_ref, u_ref, dep_ref,

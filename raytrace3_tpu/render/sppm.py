@@ -39,21 +39,26 @@ from .photon import (compact_deposits, photon_trace, photon_trace_regen,
 ALPHA = 0.7
 
 
-def ppm_update(hp: HitPoints, d_nphot: jnp.ndarray, d_tao: jnp.ndarray,
-               mode: str = "sppm", alpha: float = ALPHA) -> HitPoints:
-    """Fold one round's deposits into the hit-point state."""
+def ppm_update_arrays(r2, tao, nphot, d_nphot, d_tao,
+                      mode: str = "sppm", alpha: float = ALPHA):
+    """The PPM shrink on bare arrays (works in hp order OR the deposit
+    backend's layout space — the update is elementwise)."""
     if mode == "reference":
-        return hp.replace(tao=hp.tao + d_tao, nphot=hp.nphot + d_nphot)
+        return r2, tao + d_tao, nphot + d_nphot
     if mode != "sppm":
         raise ValueError(f"unknown ppm update mode: {mode}")
     has_new = d_nphot > 0.0
-    denom = jnp.where(has_new, hp.nphot + d_nphot, 1.0)
-    k = jnp.where(has_new, (hp.nphot + alpha * d_nphot) / denom, 1.0)
-    return hp.replace(
-        r2=hp.r2 * k,
-        tao=(hp.tao + d_tao) * k[:, None],
-        nphot=hp.nphot + alpha * d_nphot,
-    )
+    denom = jnp.where(has_new, nphot + d_nphot, 1.0)
+    k = jnp.where(has_new, (nphot + alpha * d_nphot) / denom, 1.0)
+    return r2 * k, (tao + d_tao) * k[:, None], nphot + alpha * d_nphot
+
+
+def ppm_update(hp: HitPoints, d_nphot: jnp.ndarray, d_tao: jnp.ndarray,
+               mode: str = "sppm", alpha: float = ALPHA) -> HitPoints:
+    """Fold one round's deposits into the hit-point state."""
+    r2, tao, nphot = ppm_update_arrays(
+        hp.r2, hp.tao, hp.nphot, d_nphot, d_tao, mode, alpha)
+    return hp.replace(r2=r2, tao=tao, nphot=nphot)
 
 
 def photon_rounds(
@@ -96,6 +101,17 @@ def photon_rounds(
 
     # Deposit backends with a ``prepare`` hook (ops/deposit_pallas.py) build
     # their round-invariant hit-point layout ONCE per pass, outside the scan.
+    # Backends that ALSO expose ``packed_call`` run the whole rounds loop in
+    # LAYOUT SPACE: per-pass state (r2, tao, nphot, wgt) is scattered into
+    # the bucket-aligned layout once, every round's deposit + PPM update is
+    # elementwise there, and the state unpacks once at pass end — deleting
+    # the per-round (C, 8) result gather and (C,) r2-refresh scatter, both
+    # per-index costs (docs/PERF.md: TPU scatter/gather cost per index).
+    # (differentiable backends keep the hp-space path: packed_call bypasses
+    # the custom-VJP wrapper that the gradient flows through)
+    packed_mode = (hasattr(deposit_fn, "packed_call")
+                   and hasattr(deposit_fn, "prepare")
+                   and not getattr(deposit_fn, "differentiable", False))
     raw_call = deposit_fn
     if hasattr(deposit_fn, "prepare"):
         prep = deposit_fn.prepare(hp)
@@ -111,6 +127,47 @@ def photon_rounds(
             d_n, d_tao = raw_call(hp_, dep_)
             return d_n, d_tao, jnp.zeros((), jnp.int32)
 
+    # Opaque per-pass hit-point state for the rounds scan + its fold.
+    if packed_mode:
+        r2_pad, wgt_pad = deposit_fn.pack_state(hp, prep)
+        c_pad = r2_pad.shape[0]
+        g = prep.g
+        nphot_pad = jnp.zeros((c_pad,), hp.nphot.dtype).at[g].set(
+            hp.nphot, unique_indices=True, mode="drop")
+        tao_pad = jnp.zeros((c_pad, 3), hp.tao.dtype).at[g].set(
+            hp.tao, unique_indices=True, mode="drop")
+        state0 = (r2_pad, tao_pad, nphot_pad)
+
+        def fold_state(state, dep):
+            r2_p, tao_p, nph_p = state
+            cnt, fl, ovf = deposit_fn.packed_call(r2_p, dep, prep)
+            d_tao = wgt_pad * fl / jnp.pi               # Raytracer.h:156
+            if psum_axis is not None:
+                cnt, d_tao = jax.lax.psum((cnt, d_tao), psum_axis)
+            return ppm_update_arrays(r2_p, tao_p, nph_p, cnt, d_tao,
+                                     update_mode), ovf
+
+        def finish_state(state):
+            r2_p, tao_p, nph_p = state
+            # Invalid lanes keep their original values (their layout slots
+            # carry the r2 = -1 sentinel, not state).
+            return hp.replace(
+                r2=jnp.where(hp.valid, r2_p[g], hp.r2),
+                tao=jnp.where(hp.valid[:, None], tao_p[g], hp.tao),
+                nphot=jnp.where(hp.valid, nph_p[g], hp.nphot),
+            )
+    else:
+        state0 = hp
+
+        def fold_state(state, dep):
+            d_n, d_tao, ovf = dep_call(state, dep)
+            if psum_axis is not None:
+                d_n, d_tao = jax.lax.psum((d_n, d_tao), psum_axis)
+            return ppm_update(state, d_n, d_tao, update_mode), ovf
+
+        def finish_state(state):
+            return state
+
     def compact(dep):
         """Compact + report overflow (deposits beyond capacity are LOST
         flux; a nonzero drop count means deposit_compact_frac is too low)."""
@@ -122,11 +179,6 @@ def photon_rounds(
             dep = compact_deposits(dep, cap)
         return dep, dropped
 
-    def fold(hp, d_n, d_tao):
-        if psum_axis is not None:
-            d_n, d_tao = jax.lax.psum((d_n, d_tao), psum_axis)
-        return ppm_update(hp, d_n, d_tao, update_mode)
-
     keys = jax.random.split(key, n_rounds)
 
     if regen:
@@ -134,7 +186,7 @@ def photon_rounds(
                                   photons_per_round)
 
         def round_body(carry, k):
-            hp, pstate, emitted, drops = carry
+            state, pstate, emitted, drops = carry
             dep, pstate, e = photon_trace_regen(
                 scene, k, scene.light_pos, scene.light_color,
                 photons_per_round, pstate, max_depth,
@@ -142,23 +194,23 @@ def photon_rounds(
                 fused=fused,
             )
             dep, dropped = compact(dep)
-            d_n, d_tao, ovf = dep_call(hp, dep)
-            return (fold(hp, d_n, d_tao), pstate, emitted + e,
+            state, ovf = fold_state(state, dep)
+            return (state, pstate, emitted + e,
                     drops + dropped + ovf), None
 
         L = scene.light_pos.shape[0]
-        (hp, _, emitted, drops), _ = jax.lax.scan(
+        (state, _, emitted, drops), _ = jax.lax.scan(
             round_body,
-            (hp, pstate, jnp.zeros((L,), jnp.float32),
+            (state0, pstate, jnp.zeros((L,), jnp.float32),
              jnp.zeros((), jnp.int32)),
             keys,
         )
         # Per-light counts are equal to within one photon (round-robin
         # refill), so the scalar per-light normaliser is their mean.
-        return hp, jnp.mean(emitted), drops
+        return finish_state(state), jnp.mean(emitted), drops
 
     def round_body(carry, k):
-        hp, drops = carry
+        state, drops = carry
         ke, kt = jax.random.split(k)
         org, dir, flux = emit_photons(
             ke, scene.light_pos, scene.light_color, photons_per_round
@@ -167,13 +219,14 @@ def photon_rounds(
                            debias_roulette=debias_roulette,
                            newton_fn=newton_fn, fused=fused)
         dep, dropped = compact(dep)
-        d_n, d_tao, ovf = dep_call(hp, dep)
-        return (fold(hp, d_n, d_tao), drops + dropped + ovf), None
+        state, ovf = fold_state(state, dep)
+        return (state, drops + dropped + ovf), None
 
-    (hp, drops), _ = jax.lax.scan(
-        round_body, (hp, jnp.zeros((), jnp.int32)), keys
+    (state, drops), _ = jax.lax.scan(
+        round_body, (state0, jnp.zeros((), jnp.int32)), keys
     )
-    return (hp, jnp.asarray(float(n_rounds * photons_per_round), jnp.float32),
+    return (finish_state(state),
+            jnp.asarray(float(n_rounds * photons_per_round), jnp.float32),
             drops)
 
 

@@ -63,6 +63,7 @@ def main() -> int:
     from raytrace3_tpu.core.types import Deposits, make_hitpoints
     from raytrace3_tpu.ops.deposit_pallas import (PallasDeposit,
                                                   PallasDepositLane,
+                                                  PallasDepositStream,
                                                   PallasDepositTile)
 
     segs, N = 14, 131072
@@ -88,20 +89,32 @@ def main() -> int:
     # chunks in an in-kernel fori_loop, so small tiles (fewer PAIRS via
     # narrower y windows) and large chunks (fewer DMA trips) can finally
     # combine.
+    S = PallasDepositStream
+    # Round-3 sweep #4: every tile/chunk shape in sweep #3 landed within
+    # 10% (57-64 ms) -> per-chunk SCALAR overhead (the ~40-op in-kernel
+    # chunk_of recompute), not pair math, binds.  The stream kernel decodes
+    # host-precomputed items with 2 SMEM loads; `packed` variants time the
+    # layout-space call (no (C, 8) unpack gather, no r2 scatter).
     configs = [
         ("1d_t512_wc1024_W16k", dict(tile=512, wchunk=1024, work_cap=16384)),
-        ("tile1d_t512_ch1024", dict(cls=T, tile=512, chunk=1024,
-                                    bucket2d=False, **b1)),
-        ("tile1d_t256_ch1024", dict(cls=T, tile=256, chunk=1024,
-                                    bucket2d=False, **b1)),
         ("tile1d_t128_ch1024", dict(cls=T, tile=128, chunk=1024,
                                     bucket2d=False, **b1)),
-        ("tile1d_t256_ch512", dict(cls=T, tile=256, chunk=512,
-                                   bucket2d=False, **b1)),
-        ("tile2d_t128_ch512_nomerge", dict(cls=T, tile=128, chunk=512,
-                                           merge_z=False, **bounds)),
-        ("tile2d_t128_ch1024_merge", dict(cls=T, tile=128, chunk=1024,
-                                          **bounds)),
+        ("str1d_t512_ch1024", dict(cls=S, tile=512, chunk=1024,
+                                   work_cap=24576, bucket2d=False, **b1)),
+        ("str1d_t256_ch1024", dict(cls=S, tile=256, chunk=1024,
+                                   work_cap=32768, bucket2d=False, **b1)),
+        ("str1d_t128_ch1024", dict(cls=S, tile=128, chunk=1024,
+                                   work_cap=65536, bucket2d=False, **b1)),
+        ("str1d_t128_ch512", dict(cls=S, tile=128, chunk=512,
+                                  work_cap=98304, bucket2d=False, **b1)),
+        ("str2d_t128_ch1024_merge", dict(cls=S, tile=128, chunk=1024,
+                                         work_cap=65536, **bounds)),
+        ("str1d_t128_ch1024_packed", dict(cls=S, tile=128, chunk=1024,
+                                          work_cap=65536, bucket2d=False,
+                                          packed=True, **b1)),
+        ("tile1d_t128_ch1024_packed", dict(cls=T, tile=128, chunk=1024,
+                                           bucket2d=False, packed=True,
+                                           **b1)),
     ]
     sel = os.environ.get("RT3_SWEEP")
     if sel:
@@ -113,11 +126,17 @@ def main() -> int:
     for name, kw in configs:
         kw = dict(kw)
         cls = kw.pop("cls", PallasDeposit)
+        packed = kw.pop("packed", False)
         depo = cls(interpret=jax.default_backend() != "tpu", **kw)
         try:
             prep = jax.jit(depo.prepare)(hp)
             jax.block_until_ready(prep)
-            call = jax.jit(lambda h, d, p=prep, f=depo: f(h, d, prep=p))
+            if packed:
+                r2_pad, _ = jax.jit(depo.pack_state)(hp, prep)
+                call = jax.jit(lambda h, d, p=prep, r=r2_pad, f=depo:
+                               f.packed_call(r, d, p))
+            else:
+                call = jax.jit(lambda h, d, p=prep, f=depo: f(h, d, prep=p))
             out = call(hp, dep)
             _sync(out)
             t0 = time.perf_counter()

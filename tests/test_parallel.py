@@ -117,6 +117,47 @@ def test_render_sharded_end_to_end():
     assert metrics["meter"]["passes"] == 1  # 2 passes in 1 super-pass
 
 
+def test_render_sharded_full_scene_128():
+    """VERDICT round 2 weak item 6: the multichip dryrun's 16^2 toy shapes
+    prove wiring, not capacity — run the FULL scene (textures + Bezier
+    teapot + specular transport) at 128^2 on the 2x4 mesh and check the
+    image against a single-device render of the same estimator.
+
+    Different key schedules -> images agree statistically, not bitwise;
+    divisibility/capacity bugs (hit-point shard rounding, photon-axis
+    splits, canvas psum) shift whole blocks or zero regions out.
+    """
+    cfg = RenderConfig(
+        scene="full", width=128, height=128, passes=2, rounds=2,
+        photons_per_round=16384, max_depth=8, atlas_res=32,
+        hitpoint_factor=1.5, bezier_compact_frac=0.25,
+        bezier_compact_frac_photon=0.12,
+    )
+    img, metrics = render_sharded(cfg, mesh=make_mesh(2, 4))
+    assert img.shape == (128, 128, 3)
+    assert np.isfinite(img).all() and img.max() > 0
+    assert metrics["dropped"] == 0
+
+    from raytrace3_tpu.render.driver import build_scene, make_pass_fn
+
+    scene = build_scene(cfg)
+    base = np.array([50.0, 35.0, 230.0])
+    fn = make_pass_fn(scene, cfg, base, base + [0, 0.042612, -1])
+    single, stats = fn(jax.random.key(0))
+    single = np.asarray(single).reshape(128, 128, 3)
+    assert int(stats["dropped"]) == 0
+
+    # Block-pooled agreement: 16x16 blocks, lit blocks only.  The budget
+    # (2 passes x 2 rounds x 16 K photons sharded vs 1 x 2 x 16 K single)
+    # leaves MC noise ~10-20% per block; wiring bugs are O(1) factors.
+    blk = lambda a: a.reshape(8, 16, 8, 16, 3).mean((1, 3))
+    bs, bi = blk(single), blk(np.asarray(img))
+    lit = bs.mean(-1) > np.percentile(bs.mean(-1), 40)
+    rel = np.abs(bi - bs)[lit] / (bs[lit] + 0.05)
+    assert rel.mean() < 0.35, rel.mean()
+    assert abs(img.mean() - single.mean()) / single.mean() < 0.15
+
+
 def test_render_sharded_hp_sharded_ring():
     """VERDICT round 2 item 8: the ring (hit-point-sharded) path must be
     reachable from render_sharded and consistent with the replicated path.
