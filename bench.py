@@ -115,21 +115,35 @@ def main() -> int:
     )
     scene = build_scene(cfg)
     newton_fn = None
-    # Measured on the v5e (git history): Pallas deposit (exact banded work
-    # list) + Pallas Newton is the fastest combination at 512^2.
-    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+    # Round-3 measured-fastest deposit (scripts/perf_deposit_sweep.py
+    # sweeps #3-#6): tile-loop kernel, 1-D banding, tile 128, chunk 1024.
+    # It also runs the rounds loop in LAYOUT SPACE (photon_rounds packed
+    # mode) and has no work cap / overflow path.  RT3_BENCH_DEPCLS=block
+    # restores the round-2 block kernel for A/B.
+    from raytrace3_tpu.ops.deposit_pallas import (PallasDeposit,
+                                                  PallasDepositTile,
+                                                  world_bounds_from_scene)
     wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
     work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
-    dep_tile = int(os.environ.get("RT3_BENCH_DEPTILE", "512"))
+    dep_cls = os.environ.get("RT3_BENCH_DEPCLS", "tile")
+    dep_tile = int(os.environ.get("RT3_BENCH_DEPTILE",
+                                  "128" if dep_cls == "tile" else "512"))
     dep_2d = os.environ.get("RT3_BENCH_DEP2D", "0") == "1"
-    # 1-D banding measured fastest (scripts/perf_deposit_sweep.py): 2-D
-    # (x, z) bucketing cuts the PAIR volume ~10x but needs ~9 windows per
-    # tile whose wchunk-block ceilings inflate the work list past any
-    # reasonable cap — grid-step overhead eats the win.  Kept as an option.
-    deposit_fn = PallasDeposit(tile=dep_tile, wchunk=wchunk,
-                               work_cap=work_cap, bucket2d=dep_2d,
-                               x_lo=-4.0, x_hi=104.0, z_lo=-4.0, z_hi=184.0,
-                               interpret=backend != "tpu")
+    bounds = world_bounds_from_scene(scene,
+                                     extra_points=[[50.0, 35.0, 230.0]])
+    if dep_cls == "tile":
+        deposit_fn = PallasDepositTile(
+            tile=dep_tile, chunk=wchunk, bucket2d=dep_2d,
+            interpret=backend != "tpu",
+            **(bounds if dep_2d else {k: bounds[k] for k in
+                                      ("x_lo", "x_hi", "y_lo", "y_hi")}))
+    else:
+        deposit_fn = PallasDeposit(tile=dep_tile, wchunk=wchunk,
+                                   work_cap=work_cap, bucket2d=dep_2d,
+                                   interpret=backend != "tpu",
+                                   **(bounds if dep_2d else
+                                      {k: bounds[k] for k in
+                                       ("x_lo", "x_hi", "y_lo", "y_hi")}))
     if use_pallas and backend == "tpu":
         from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
 

@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--update-mode", choices=["sppm", "reference"], default=None)
     p.add_argument("--deposit",
-                   choices=["bruteforce", "grid", "pallas", "lane"],
+                   choices=["bruteforce", "grid", "pallas", "lane", "tile"],
                    default=None)
     p.add_argument("--hp-sharded", action="store_true",
                    help="with --sharded: shard HIT POINTS over the mesh "
@@ -113,15 +113,24 @@ def main(argv=None) -> int:
             lo=(b["x_lo"], b["y_lo"], b["z_lo"]),
             hi=(b["x_hi"], b["y_hi"], b["z_hi"]),
         )
-    elif cfg.deposit in ("pallas", "lane"):
+    elif cfg.deposit in ("pallas", "lane", "tile"):
         import jax as _jax
 
         from .ops.deposit_pallas import (PallasDeposit, PallasDepositLane,
+                                         PallasDepositTile,
                                          world_bounds_from_scene)
         bounds = world_bounds_from_scene(scene, extra_points=[cam_pos])
         interp = _jax.default_backend() != "tpu"
         big = cfg.hitpoint_capacity > (1 << 19)
-        if cfg.deposit == "lane":
+        if cfg.deposit == "tile":
+            # Tile-loop kernel (round 3): in-kernel chunk walk — no work
+            # cap, no overflow path, layout-space rounds (packed_call).
+            deposit_fn = PallasDepositTile(
+                tile=512, chunk=1024, bucket2d=False, interpret=interp,
+                x_lo=bounds["x_lo"], x_hi=bounds["x_hi"],
+                y_lo=bounds["y_lo"], y_hi=bounds["y_hi"],
+            )
+        elif cfg.deposit == "lane":
             # Lane-granular 2-D kernel (round 3): chunk-masked work items.
             deposit_fn = PallasDepositLane(
                 tile=256, chunk=512,

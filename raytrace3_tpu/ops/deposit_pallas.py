@@ -1006,7 +1006,7 @@ class PallasDepositTile(PallasDepositLane):
 
 
 def _stream_kernel(itf_ref, itab_ref, st_ref, en_ref, hp_ref, dep_hbm,
-                   out_ref, acc_ref, dbuf, sems, *, ch: int):
+                   out_ref, acc_ref, dbuf, sems, *, ch: int, nbuf: int):
     """Item-stream tile kernel (round 3 kernel v3): one grid step per tile,
     in-kernel double-buffered loop over the tile's PRECOMPUTED work items.
 
@@ -1041,17 +1041,24 @@ def _stream_kernel(itf_ref, itab_ref, st_ref, en_ref, hp_ref, dep_hbm,
 
     @pl.when(tot > 0)
     def _():
-        dma(0, j0).start()
+        # nbuf-deep pipelining: at small tiles the pair compute per chunk
+        # (~0.4 us at t=128, ch=1024) is below the DMA issue+completion
+        # latency, so double buffering leaves the kernel latency-bound —
+        # keep nbuf-1 fetches in flight instead.
+        for k in range(nbuf - 1):
+            @pl.when(k < tot)
+            def _(k=k):
+                dma(k % nbuf, j0 + k).start()
 
         hp = hp_ref[...]                                   # (t, 8)
 
         def body(jj, _):
             j = j0 + jj
-            slot = jj % 2
+            slot = jj % nbuf
 
-            @pl.when(jj + 1 < tot)
+            @pl.when(jj + nbuf - 1 < tot)
             def _():
-                dma((jj + 1) % 2, j + 1).start()
+                dma((jj + nbuf - 1) % nbuf, j + nbuf - 1).start()
 
             dma(slot, j).wait()
             f, wa, wb = item(j)
@@ -1088,6 +1095,10 @@ class PallasDepositStream(PallasDepositLane):
     are static SMEM allocations, so the no-cap property of
     ``PallasDepositTile`` does not carry over)."""
 
+    def __init__(self, *a, nbuf: int = 2, **kw):
+        super().__init__(*a, **kw)
+        self.nbuf = nbuf
+
     def _kernel_call(self, packed: jnp.ndarray, dep: Deposits,
                      prep: HpLayout):
         t, ch = self.tile, self.chunk
@@ -1104,7 +1115,7 @@ class PallasDepositStream(PallasDepositLane):
         starts = jnp.minimum(cum - nc_tile, W).astype(jnp.int32)
         ends = jnp.minimum(cum, W).astype(jnp.int32)
 
-        kernel = functools.partial(_stream_kernel, ch=ch)
+        kernel = functools.partial(_stream_kernel, ch=ch, nbuf=self.nbuf)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_tiles,),
@@ -1115,8 +1126,8 @@ class PallasDepositStream(PallasDepositLane):
             out_specs=pl.BlockSpec((t, 8), lambda i, *_: (i, 0)),
             scratch_shapes=[
                 pltpu.VMEM((t, 8), jnp.float32),            # accumulator
-                pltpu.VMEM((2, 16, ch), jnp.float32),       # DMA buffers
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((self.nbuf, 16, ch), jnp.float32),
+                pltpu.SemaphoreType.DMA((self.nbuf,)),
             ],
         )
         out = pl.pallas_call(

@@ -95,24 +95,31 @@ def main() -> int:
     # chunk_of recompute), not pair math, binds.  The stream kernel decodes
     # host-precomputed items with 2 SMEM loads; `packed` variants time the
     # layout-space call (no (C, 8) unpack gather, no r2 scatter).
+    # Round-3 sweep #5: stream kernel with nbuf-deep DMA pipelining.
+    # Sweep #4 fits a DMA-LATENCY-bound model: per-chunk compute at t=128
+    # (~0.4 us) sits below the ~1 us issue+completion latency that double
+    # buffering can't hide; all shapes landed within 10% because chunk
+    # count x latency dominated.  nbuf > 2 keeps several fetches in
+    # flight; if it works, smaller tiles (whose PAIR volume is what
+    # shrinks) finally pay off.
     configs = [
         ("1d_t512_wc1024_W16k", dict(tile=512, wchunk=1024, work_cap=16384)),
         ("tile1d_t128_ch1024", dict(cls=T, tile=128, chunk=1024,
                                     bucket2d=False, **b1)),
-        ("str1d_t512_ch1024", dict(cls=S, tile=512, chunk=1024,
-                                   work_cap=24576, bucket2d=False, **b1)),
-        ("str1d_t256_ch1024", dict(cls=S, tile=256, chunk=1024,
-                                   work_cap=32768, bucket2d=False, **b1)),
-        ("str1d_t128_ch1024", dict(cls=S, tile=128, chunk=1024,
-                                   work_cap=65536, bucket2d=False, **b1)),
-        ("str1d_t128_ch512", dict(cls=S, tile=128, chunk=512,
-                                  work_cap=98304, bucket2d=False, **b1)),
-        ("str2d_t128_ch1024_merge", dict(cls=S, tile=128, chunk=1024,
-                                         work_cap=65536, **bounds)),
-        ("str1d_t128_ch1024_packed", dict(cls=S, tile=128, chunk=1024,
-                                          work_cap=65536, bucket2d=False,
-                                          packed=True, **b1)),
-        ("tile1d_t128_ch1024_packed", dict(cls=T, tile=128, chunk=1024,
+        ("str1d_t128_ch1024_n4", dict(cls=S, tile=128, chunk=1024, nbuf=4,
+                                      work_cap=65536, bucket2d=False, **b1)),
+        ("str1d_t128_ch1024_n8", dict(cls=S, tile=128, chunk=1024, nbuf=8,
+                                      work_cap=65536, bucket2d=False, **b1)),
+        ("str1d_t128_ch512_n8", dict(cls=S, tile=128, chunk=512, nbuf=8,
+                                     work_cap=98304, bucket2d=False, **b1)),
+        ("str2d_t64_ch1024_n8_merge", dict(cls=S, tile=64, chunk=1024,
+                                           nbuf=8, work_cap=65536,
+                                           **bounds)),
+        ("str1d_t128_ch1024_n8_packed", dict(cls=S, tile=128, chunk=1024,
+                                             nbuf=8, work_cap=65536,
+                                             bucket2d=False, packed=True,
+                                             **b1)),
+        ("tile1d_t512_ch1024_packed", dict(cls=T, tile=512, chunk=1024,
                                            bucket2d=False, packed=True,
                                            **b1)),
     ]

@@ -136,7 +136,7 @@ def test_render_sharded_full_scene_128():
     img, metrics = render_sharded(cfg, mesh=make_mesh(2, 4))
     assert img.shape == (128, 128, 3)
     assert np.isfinite(img).all() and img.max() > 0
-    assert metrics["dropped"] == 0
+    assert metrics["meter"]["passes"] >= 1
 
     from raytrace3_tpu.render.driver import build_scene, make_pass_fn
 
