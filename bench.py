@@ -73,6 +73,7 @@ def main() -> int:
     # invalid lanes outside every search window, and the compaction gathers
     # cost more than the 11% larger sort (docs/PERF.md).
     depfrac = float(os.environ.get("RT3_BENCH_DEPFRAC", "1.0"))
+    fused = os.environ.get("RT3_BENCH_FUSED", "0") == "1"
 
     try:
         cpp = measure_cpp_baseline()
@@ -108,7 +109,7 @@ def main() -> int:
         bezier_compact_frac=0.09, bezier_compact_frac_photon=0.05,
         newton_restarts=4, newton_iters=10,
         update_mode="sppm", deposit="pallas", deposit_compact_frac=depfrac,
-        hitpoint_factor=1.3, photon_regen=True,
+        hitpoint_factor=1.3, photon_regen=True, fused_walk=fused,
         # measured eye survival: 20% after segment 1, 2.5% after 4, ~1.1%
         # after 6 — stage the wavefront down (overflow shows up in "dropped")
         eye_compact_schedule=((1, 0.25), (4, 0.04), (6, 0.02)),

@@ -387,11 +387,15 @@ def _eye_kernel(tbl_ref, st_ref, bz_ref, out_ref, *, P, S, has_bezier,
 
 
 def choose_block(m: int, cap: int = 64) -> int:
-    """Largest power-of-two sublane block <= cap dividing m."""
+    """Largest power-of-two sublane block <= cap dividing m.
+
+    Mosaic requires the second-to-last block dim be a multiple of 8 OR the
+    whole array dim — when m isn't divisible by 8 (staged eye widths like
+    81 x 128 lanes), fall back to one grid step over the full dim."""
     b = 1
     while b < cap and m % (b * 2) == 0:
         b *= 2
-    return b
+    return b if b % 8 == 0 else m
 
 
 def _rows(arrs) -> jnp.ndarray:

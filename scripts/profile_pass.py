@@ -27,7 +27,9 @@ import numpy as np
 
 
 def build_pass_fn():
-    from raytrace3_tpu.ops.deposit_pallas import PallasDeposit
+    from raytrace3_tpu.ops.deposit_pallas import (PallasDeposit,
+                                                  PallasDepositTile,
+                                                  world_bounds_from_scene)
     from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
     from raytrace3_tpu.render.driver import build_scene, make_pass_fn
     from raytrace3_tpu.utils.config import RenderConfig
@@ -52,15 +54,28 @@ def build_pass_fn():
     newton_fn = make_newton_pallas(iters=cfg.newton_iters, restarts=restarts)
     wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
     work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
-    dep_tile = int(os.environ.get("RT3_BENCH_DEPTILE", "512"))
+    dep_cls = os.environ.get("RT3_BENCH_DEPCLS", "tile")
+    dep_tile = int(os.environ.get("RT3_BENCH_DEPTILE",
+                                  "128" if dep_cls == "tile" else "512"))
     dep_2d = os.environ.get("RT3_BENCH_DEP2D", "0") == "1"
-    deposit_fn = PallasDeposit(tile=dep_tile, wchunk=wchunk,
-                               work_cap=work_cap, bucket2d=dep_2d,
-                               x_lo=-4.0, x_hi=104.0, z_lo=-4.0, z_hi=184.0)
-    base = np.array([50.0, 35.0, 230.0])
+    bounds = world_bounds_from_scene(scene, extra_points=[base_cam()])
+    bkw = bounds if dep_2d else {k: bounds[k] for k in
+                                 ("x_lo", "x_hi", "y_lo", "y_hi")}
+    if dep_cls == "tile":
+        deposit_fn = PallasDepositTile(tile=dep_tile, chunk=wchunk,
+                                       bucket2d=dep_2d, **bkw)
+    else:
+        deposit_fn = PallasDeposit(tile=dep_tile, wchunk=wchunk,
+                                   work_cap=work_cap, bucket2d=dep_2d,
+                                   **bkw)
+    base = base_cam()
     look = base + np.array([0.0, 0.042612, -1.0])
     return make_pass_fn(scene, cfg, base, look, deposit_fn=deposit_fn,
                         newton_fn=newton_fn)
+
+
+def base_cam():
+    return np.array([50.0, 35.0, 230.0])
 
 
 def dump_top_ops(logdir: str, top_n: int):
