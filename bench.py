@@ -68,7 +68,7 @@ def main() -> int:
     platform = os.environ.get("RT3_BENCH_PLATFORM")
     use_pallas = os.environ.get("RT3_BENCH_PALLAS", "1") != "0"
     restarts = int(os.environ.get("RT3_BENCH_RESTARTS", "16"))
-    n_timed = int(os.environ.get("RT3_BENCH_TIMED", "2"))
+    n_timed = int(os.environ.get("RT3_BENCH_TIMED", "4"))
     # 1.0 = no deposit compaction: the banded deposit's sort already pushes
     # invalid lanes outside every search window, and the compaction gathers
     # cost more than the 11% larger sort (docs/PERF.md).
@@ -170,18 +170,31 @@ def main() -> int:
     # float(stats[...]) inside the loop forces a per-pass device->host
     # round trip through the remote tunnel (~0.3 s of pure latency per
     # pass, measured); read everything after the final pass completes.
+    #
+    # Warm EVERY auxiliary graph before the clock starts: the round-4 gap
+    # attribution (scripts/perf_dispatch_micro.py) showed the device
+    # timeline inside a pass is packed (2 ms idle) and pass dispatch is
+    # ~0.3 ms — the entire 0.6 s/pass wall-vs-op gap of rounds 1-3 was the
+    # first-use compiles of fold_in and the stack/sum reduction landing
+    # INSIDE the 2-pass timed window.  Steady state measures 1.241 s wall
+    # vs 1.232 s device span.
+    import jax.numpy as jnp
+
+    keys = [jax.random.fold_in(key, i + 1) for i in range(n_timed)]
+    warm = jax.device_get(
+        jnp.stack([stats["photons_emitted"]] * n_timed).sum())
+    jax.block_until_ready(keys)
+
     t0 = time.perf_counter()
     emitted_acc = []
-    for i in range(n_timed):
-        img, stats = fn(jax.random.fold_in(key, i + 1))
+    for k in keys:
+        img, stats = fn(k)
         emitted_acc.append(stats["photons_emitted"])
     # ONE device_get of a scalar forces full completion (CLAUDE.md: on the
     # tunnel block_until_ready alone can return early).  Summing on device
     # first keeps exactly one tunnel RTT inside the timed window — a
     # per-pass loop of device_gets charged ~1 RTT of pure latency to every
     # timed pass (ADVICE round 2).
-    import jax.numpy as jnp
-
     emitted = float(jax.device_get(jnp.stack(emitted_acc).sum()))
     dt = (time.perf_counter() - t0) / n_timed
     emitted /= n_timed

@@ -44,6 +44,34 @@ def inject_params(scene: Scene, params: dict) -> Scene:
     return scene
 
 
+def default_deposit_vjp(scene: Scene, cfg: RenderConfig, camera_pose=None,
+                        backend: str | None = None):
+    """Pick the gradient-path deposit backend.
+
+    On TPU at >=256^2 the O(C*D) bruteforce VJP's MXU contraction stops
+    being free (C*D crosses ~10^11 pair tests); the banded Pallas kernel
+    with its transposed-kernel custom VJP (``PallasDepositLane
+    (differentiable=True)``, bit-checked against the bruteforce VJP in
+    tests/test_deposit.py) is the scalable default.  Elsewhere (CPU tests,
+    small canvases) the bruteforce VJP stays — simpler and exactly as
+    accurate.  Reference: the kd-tree deposit loop this differentiates
+    through, raytracer/Raytracer.h:137-159.
+    """
+    backend = backend or jax.default_backend()
+    if backend == "tpu" and cfg.n_pixels >= 256 * 256:
+        from ..ops.deposit_pallas import (PallasDepositLane,
+                                          world_bounds_from_scene)
+        pos = (camera_pose[0] if camera_pose is not None
+               else [50.0, 35.0, 230.0])                 # main.cpp:24
+        bounds = world_bounds_from_scene(
+            scene, extra_points=[[float(x) for x in pos]])
+        big = cfg.hitpoint_capacity > (1 << 19)
+        return PallasDepositLane(
+            tile=256, chunk=512, work_cap=49152 if big else 16384,
+            differentiable=True, **bounds)
+    return deposit_bruteforce_vjp
+
+
 def make_render_fn(scene: Scene, cfg: RenderConfig, camera_pose=None,
                    newton_fn=None, deposit_fn=None):
     """(params, key) -> (H*W, 3) differentiable image."""
@@ -58,7 +86,7 @@ def make_render_fn(scene: Scene, cfg: RenderConfig, camera_pose=None,
                   cfg.width, cfg.height)
     org, dir = emit_rays(cam)
     if deposit_fn is None:
-        deposit_fn = deposit_bruteforce_vjp
+        deposit_fn = default_deposit_vjp(scene, cfg, camera_pose)
 
     def render(params, key):
         s = inject_params(scene, params)
@@ -144,7 +172,7 @@ def _make_sharded_loss(scene: Scene, cfg: RenderConfig, mesh, camera_pose,
     ray_shard = R // n_photon
     local_capacity = cfg.hitpoint_capacity // n_photon
     local_photons = cfg.photons_per_round // n_photon
-    dep_fn = deposit_fn or deposit_bruteforce_vjp
+    dep_fn = deposit_fn or default_deposit_vjp(scene, cfg, camera_pose)
 
     def loss_fn(params, key, target):
         # params/key/target enter through in_specs (replicated) rather than

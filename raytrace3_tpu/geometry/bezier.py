@@ -84,15 +84,33 @@ def patch_point(ctrl: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
 
 
 def patch_derivs(ctrl: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
-    """(S, dS/du, dS/dv) in one basis evaluation (Bezier.h:85-111)."""
+    """(S, dS/du, dS/dv) in one basis evaluation (Bezier.h:85-111).
+
+    Both mixed derivatives contract the (..., 4, 4, 3) control tensor ONCE
+    down to (..., 4, 3) and finish with a cheap 4-vector contraction — the
+    one-shot 3-operand ``dbv, bu, ctrl`` einsum for Sv profiled 3.7x the
+    two-step form at bench shapes (49.7 vs 13.4 ms/pass, round-4 trace)."""
     bu, bv = bernstein(u), bernstein(v)
     dbu, dbv = dbernstein(u), dbernstein(v)
     # Contract the v basis once, reuse for S and Su.
     gv = jnp.einsum("...i,...ikc->...kc", bv, ctrl)      # (..., 4, 3)
     s = jnp.einsum("...k,...kc->...c", bu, gv)
     su = jnp.einsum("...k,...kc->...c", dbu, gv)
-    sv = jnp.einsum("...i,...k,...ikc->...c", dbv, bu, ctrl)
+    hv = jnp.einsum("...i,...ikc->...kc", dbv, ctrl)     # (..., 4, 3)
+    sv = jnp.einsum("...k,...kc->...c", bu, hv)
     return s, su, sv
+
+
+def patch_tangents(ctrl: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """(dS/du, dS/dv) only — the winner-normal path (Bezier.h:267-272)
+    never needs S itself."""
+    bu, bv = bernstein(u), bernstein(v)
+    dbu, dbv = dbernstein(u), dbernstein(v)
+    gv = jnp.einsum("...i,...ikc->...kc", bv, ctrl)
+    su = jnp.einsum("...k,...kc->...c", dbu, gv)
+    hv = jnp.einsum("...i,...ikc->...kc", dbv, ctrl)
+    sv = jnp.einsum("...k,...kc->...c", bu, hv)
+    return su, sv
 
 
 def restart_grid(g: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -324,7 +342,7 @@ def intersect_bezier(
         # Normal at the winning root only (Bezier.h:267-272), flipped
         # toward the viewer.
         cw = ctrl[pid]                                  # (r, 4, 4, 3)
-        _, su, sv = patch_derivs(cw, u, v)
+        su, sv = patch_tangents(cw, u, v)
         n = jnp.cross(su, sv)
         n = jnp.where(jnp.sum(n * d, -1, keepdims=True) > 0.0, -n, n)
         return normalize(n)

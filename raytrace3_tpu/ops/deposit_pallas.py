@@ -747,7 +747,7 @@ class PallasDepositLane(PallasDeposit):
             grid=(W,),
             in_specs=[
                 pl.BlockSpec((t, 8), lambda s, wt, wf, wa, wb: (wt[s], 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),       # (16, Dp) in HBM
+                pl.BlockSpec(memory_space=pl.ANY),       # (16, Dp) in HBM
             ],
             out_specs=pl.BlockSpec((t, 8),
                                    lambda s, wt, wf, wa, wb: (wt[s], 0)),
@@ -983,7 +983,7 @@ class PallasDepositTile(PallasDepositLane):
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((t, 8), lambda i, sk, ek: (i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),       # (16, Dp) HBM
+                pl.BlockSpec(memory_space=pl.ANY),       # (16, Dp) HBM
             ],
             out_specs=pl.BlockSpec((t, 8), lambda i, sk, ek: (i, 0)),
             scratch_shapes=[
@@ -1121,7 +1121,7 @@ class PallasDepositStream(PallasDepositLane):
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec((t, 8), lambda i, *_: (i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),       # (16, Dp) HBM
+                pl.BlockSpec(memory_space=pl.ANY),       # (16, Dp) HBM
             ],
             out_specs=pl.BlockSpec((t, 8), lambda i, *_: (i, 0)),
             scratch_shapes=[
@@ -1280,5 +1280,10 @@ def world_bounds_from_scene(scene, margin: float = 4.0 * SEARCH_R,
                 z_lo=float(lo[2]), z_hi=float(hi[2]))
 
 
-def make_pallas_deposit(**kw) -> PallasDeposit:
-    return PallasDeposit(**kw)
+def make_pallas_deposit(**kw):
+    """The measured-best Pallas deposit backend (round-3 sweeps,
+    docs/PERF.md): the tile-loop kernel at tile=128/chunk=1024 — no work
+    cap, no overflow path, layout-space rounds via ``packed_call``."""
+    kw.setdefault("tile", 128)
+    kw.setdefault("chunk", 1024)
+    return PallasDepositTile(**kw)

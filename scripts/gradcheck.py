@@ -126,7 +126,8 @@ def pick_coords(g, n_top, n_rand, rng):
     return top + rand
 
 
-def run(res, photons, rounds, newton_backend, seed):
+def run(res, photons, rounds, newton_backend, seed,
+        deposit_backend: str = "bruteforce"):
     import jax
 
     jax.config.update("jax_platforms", os.environ.get("RT3_GRADCHECK_PLATFORM",
@@ -161,7 +162,21 @@ def run(res, photons, rounds, newton_backend, seed):
             iters=cfg.newton_iters, restarts=8,
             interpret=jax.default_backend() != "tpu")
 
+    deposit_fn = None                    # None -> the default bruteforce VJP
+    if deposit_backend == "lane":
+        # The at-scale gradient path (VERDICT round 3 item 3): the banded
+        # Pallas deposit with its transposed-kernel custom VJP, exactly as
+        # diff.train.default_deposit_vjp selects on TPU at >=256^2.
+        from raytrace3_tpu.ops.deposit_pallas import (PallasDepositLane,
+                                                      world_bounds_from_scene)
+        bounds = world_bounds_from_scene(
+            scene, extra_points=[[8.0, 8.0, 128.0]])
+        deposit_fn = PallasDepositLane(
+            tile=256, chunk=512, work_cap=16384, differentiable=True,
+            interpret=jax.default_backend() != "tpu", **bounds)
+
     render = make_render_fn(scene, cfg, newton_fn=newton_fn,
+                            deposit_fn=deposit_fn,
                             camera_pose=((8.0, 8.0, 128.0),
                                          (16.0, 6.6, 116.0)))
     params = extract_params(scene)
@@ -209,7 +224,9 @@ def main() -> int:
     ap.add_argument("--photons", type=int, default=8192)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--backends", default="jnp,pallas")
+    # Each entry is newton-backend[+deposit]: "pallas+lane" = Pallas Newton
+    # AND the differentiable Pallas lane deposit (the at-scale grad path).
+    ap.add_argument("--backends", default="jnp,pallas,pallas+lane")
     ap.add_argument("--out", default=os.path.join(REPO, "GRADCHECK.json"))
     args = ap.parse_args()
 
@@ -223,7 +240,9 @@ def main() -> int:
     all_checked = all_passed = 0
     groups_ok = []
     for backend in args.backends.split(","):
-        groups = run(args.res, args.photons, args.rounds, backend, args.seed)
+        newton_b, _, dep_b = backend.partition("+")
+        groups = run(args.res, args.photons, args.rounds, newton_b,
+                     args.seed, deposit_backend=dep_b or "bruteforce")
         for name, results in groups.items():
             scored = [r for r in results
                       if not (r.get("discont") or r.get("low_signal"))]

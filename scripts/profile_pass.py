@@ -118,7 +118,51 @@ def dump_top_ops(logdir: str, top_n: int):
             n_op[name] += 1
             by_src[e.get("args", {}).get("source", "?")] += dur
         grand = sum(by_op.values())
-        print(f"== {path}: {grand/1e6:.3f}s device op time (ex-while)")
+        # --- timeline gap attribution (VERDICT r3 next-step #1): the
+        # wall-vs-op difference lives BETWEEN ops on the device timeline.
+        # Collect non-while X events on the XLA Ops thread, sort by start,
+        # and charge each idle gap to the op that FOLLOWS it (the op whose
+        # launch the device waited for).
+        evs = []
+        for e in d["traceEvents"]:
+            if e.get("ph") != "X":
+                continue
+            if "TPU" not in pids.get(e["pid"], ""):
+                continue
+            if "XLA Ops" not in tids.get((e["pid"], e.get("tid")), ""):
+                continue
+            if e["name"].split(".")[0] == "while":
+                continue
+            evs.append((e["ts"], e["ts"] + e.get("dur", 0), e["name"]))
+        evs.sort()
+        gap_by_op = collections.Counter()
+        gap_n = collections.Counter()
+        gap_hist = collections.Counter()
+        total_gap = 0.0
+        cur_end = None
+        for ts, te, name in evs:
+            if cur_end is not None and ts > cur_end:
+                g = ts - cur_end
+                total_gap += g
+                key = name.split(".")[0]
+                gap_by_op[key] += g
+                gap_n[key] += 1
+                bucket = ("<5us" if g < 5 else "<20us" if g < 20 else
+                          "<100us" if g < 100 else "<1ms" if g < 1e3 else
+                          ">=1ms")
+                gap_hist[bucket] += g
+            cur_end = te if cur_end is None else max(cur_end, te)
+        span = (evs[-1][1] - evs[0][0]) / 1e6 if evs else 0.0
+        print(f"== {path}: {grand/1e6:.3f}s device op time (ex-while); "
+              f"timeline span {span:.3f}s, device idle {total_gap/1e6:.3f}s "
+              f"({len(evs)} events)")
+        print("-- idle-gap histogram (total us per bucket):")
+        for b, us in gap_hist.most_common():
+            print(json.dumps({"gap_bucket": b, "ms": round(us / 1e3, 2)}))
+        print("-- idle time charged to the FOLLOWING op (top):")
+        for name, us in gap_by_op.most_common(20):
+            print(json.dumps({"before_op": name[:70],
+                              "ms": round(us / 1e3, 2), "n": gap_n[name]}))
         print("-- by source line:")
         for src, us in by_src.most_common(top_n):
             print(json.dumps({"src": src.replace("/root/repo/", ""),
