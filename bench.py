@@ -15,7 +15,7 @@ so the baseline must be measured here).
 Env knobs: RT3_BENCH_ROUNDS, RT3_BENCH_PHOTONS, RT3_BENCH_RES,
 RT3_BENCH_PLATFORM (force e.g. cpu), RT3_BENCH_PALLAS=0/1,
 RT3_BENCH_RESTARTS (Pallas Newton restarts/lane grid, default 16),
-RT3_BENCH_TIMED (timed passes, default 2).
+RT3_BENCH_TIMED (timed passes, default 4).
 """
 
 from __future__ import annotations
@@ -73,7 +73,6 @@ def main() -> int:
     # invalid lanes outside every search window, and the compaction gathers
     # cost more than the 11% larger sort (docs/PERF.md).
     depfrac = float(os.environ.get("RT3_BENCH_DEPFRAC", "1.0"))
-    fused = os.environ.get("RT3_BENCH_FUSED", "0") == "1"
 
     try:
         cpp = measure_cpp_baseline()
@@ -109,7 +108,7 @@ def main() -> int:
         bezier_compact_frac=0.09, bezier_compact_frac_photon=0.05,
         newton_restarts=4, newton_iters=10,
         update_mode="sppm", deposit="pallas", deposit_compact_frac=depfrac,
-        hitpoint_factor=1.3, photon_regen=True, fused_walk=fused,
+        hitpoint_factor=1.3, photon_regen=True,
         # measured eye survival: 20% after segment 1, 2.5% after 4, ~1.1%
         # after 6 — stage the wavefront down (overflow shows up in "dropped")
         eye_compact_schedule=((1, 0.25), (4, 0.04), (6, 0.02)),

@@ -81,7 +81,6 @@ def make_pass_fn(scene: Scene, cfg: RenderConfig, base_pos, base_look,
             photon_scene=photon_scene,
             photon_regen=cfg.photon_regen,
             eye_compact_schedule=cfg.eye_compact_schedule,
-            fused_walk=cfg.fused_walk,
         )
         return img.reshape(cfg.height, cfg.width, 3), stats
 

@@ -83,7 +83,6 @@ def eye_pass(
     newton_fn=None,
     pixel_offset=0,
     compact_schedule: tuple = (),
-    fused: bool = False,
 ):
     """Trace camera rays, return the hit-point buffer.
 
@@ -104,11 +103,11 @@ def eye_pass(
     Returns:
       (HitPoints, stats) with stats = {"count": int32, "dropped": int32}.
     """
-    if compact_schedule or fused:
-        assert slots == 1, "compact_schedule/fused require slots=1"
+    if compact_schedule:
+        assert slots == 1, "compact_schedule requires slots=1"
         return _eye_pass_compact(
             scene, org, dir, capacity, max_depth, init_r2, newton_fn,
-            pixel_offset, compact_schedule, fused=fused,
+            pixel_offset, compact_schedule,
         )
     R = org.shape[0]
     K = slots
@@ -215,7 +214,7 @@ def eye_pass(
 
 
 def _eye_pass_compact(scene, org, dir, capacity, max_depth, init_r2,
-                      newton_fn, pixel_offset, schedule, fused=False):
+                      newton_fn, pixel_offset, schedule):
     """Staged-width eye trace (see ``eye_pass``'s compact_schedule).
 
     Same estimator as the slots=1 path: diffuse lobes store hit points,
@@ -232,33 +231,7 @@ def _eye_pass_compact(scene, org, dir, capacity, max_depth, init_r2,
     R = org.shape[0]
     dtype = org.dtype
 
-    fetch_mat = None if fused else _eye_material_lanes(scene)
-    if fused:
-        from ..ops.walk_pallas import eye_segment, pack_walk_table
-
-        tbl = pack_walk_table(scene)
-        interp = jax.default_backend() != "tpu"
-
-    def step_fused(carry, _):
-        (o, d, wgt, px, act), dropped = carry
-        seg = eye_segment(scene, tbl, o, d, newton_fn=newton_fn,
-                          compact_frac=scene.bezier_compact_frac,
-                          interpret=interp)
-        hit = seg["hit"] & act
-        diff_v = hit & seg["isd"]
-        hp_wgt = seg["color"] * wgt * seg["m_diff"]
-        rows = jnp.concatenate([
-            seg["pos"], seg["n"], hp_wgt,
-            px.astype(dtype)[:, None],
-            diff_v.astype(dtype)[:, None],
-        ], axis=1)                                         # (w, 11)
-        refl_v = hit & seg["isl"]
-        refr_v = hit & seg["isr"]
-        prim_v = refl_v | refr_v
-        prim_w = seg["color"] * wgt * seg["m_prim"]
-        dropped = dropped + jnp.sum((refl_v & refr_v).astype(jnp.int32))
-        return ((seg["pos"], seg["prim_d"], prim_w, px, prim_v),
-                dropped), rows
+    fetch_mat = _eye_material_lanes(scene)
 
     def step(carry, _):
         (o, d, wgt, px, act), dropped = carry
@@ -324,8 +297,7 @@ def _eye_pass_compact(scene, org, dir, capacity, max_depth, init_r2,
                      (lane_rows[:, 10] > 0.5) & ok)
             dropped = dropped + jnp.maximum(n_act - w, 0)
         (lanes, dropped), rows = jax.lax.scan(
-            step_fused if fused else step, (lanes, dropped), None,
-            length=n_segs,
+            step, (lanes, dropped), None, length=n_segs,
         )
         all_rows.append(rows.reshape(n_segs * w, 11))
 

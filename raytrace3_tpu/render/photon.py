@@ -55,7 +55,6 @@ def photon_trace(
     max_depth: int = MAX_DEPTH,
     debias_roulette: bool = False,
     newton_fn=None,
-    fused: bool = False,
 ) -> Deposits:
     """Walk a photon batch; return all diffuse-interaction deposits.
 
@@ -70,36 +69,7 @@ def photon_trace(
     N = org.shape[0]
     segs = max_depth + 1
 
-    fetch_mat = None if fused else _material_lanes(scene)
-    if fused:
-        from ..ops.walk_pallas import pack_walk_table, photon_segment
-
-        tbl = pack_walk_table(scene)
-        interp = jax.default_backend() != "tpu"
-
-    def step_fused(carry, k):
-        o, d, f, alive = carry
-        k_r, k_d = jax.random.split(k)
-        u_r = jax.random.uniform(k_r, (N,))
-        ku, kv = jax.random.split(k_d)
-        u1 = jax.random.uniform(ku, (N,))
-        u2 = jax.random.uniform(kv, (N,))
-        seg = photon_segment(
-            scene, tbl, o, d, u_r, u1, u2, newton_fn=newton_fn,
-            compact_frac=scene.bezier_compact_frac, interpret=interp,
-        )
-        hit = seg["hit"] & alive
-        dep = (seg["pos"], seg["n"], f, hit & seg["isd"])
-        new_f = seg["color"] * f
-        if debias_roulette:
-            dp, rp, rr = seg["powers"]
-            branch = seg["branch"]
-            allp = dp + rp + rr
-            bp = jnp.where(
-                branch == 0.0, dp, jnp.where(branch == 1.0, rp, rr),
-            ) / jnp.where(allp > 0, allp, 1.0)
-            new_f = new_f / jnp.where(bp > 1e-8, bp, 1.0)[:, None]
-        return (seg["pos"], seg["new_d"], new_f, hit), dep
+    fetch_mat = _material_lanes(scene)
 
     def step(carry, k):
         o, d, f, alive = carry
@@ -139,8 +109,7 @@ def photon_trace(
 
     keys = jax.random.split(key, segs)
     _, (dp, dn, df, dv) = jax.lax.scan(
-        step_fused if fused else step,
-        (org, dir, flux, jnp.ones((N,), bool)), keys
+        step, (org, dir, flux, jnp.ones((N,), bool)), keys
     )
     return Deposits(
         pos=dp.reshape(segs * N, 3),
@@ -160,7 +129,6 @@ def photon_trace_regen(
     max_depth: int = MAX_DEPTH,
     debias_roulette: bool = False,
     newton_fn=None,
-    fused: bool = False,
 ):
     """Persistent-lane photon walk: dead lanes are refilled from the lights.
 
@@ -201,12 +169,7 @@ def photon_trace_regen(
     if state is None:
         state = regen_state_init(L, n_photons)
 
-    fetch_mat = None if fused else _material_lanes(scene)
-    if fused:
-        from ..ops.walk_pallas import pack_walk_table, photon_segment
-
-        tbl = pack_walk_table(scene)
-        interp = jax.default_backend() != "tpu"
+    fetch_mat = _material_lanes(scene)
 
     def step(carry, k):
         o, d, f, alive, depth, rr_off, emitted = carry
@@ -233,36 +196,6 @@ def photon_trace_regen(
         f = jnp.where(nd, ef, f)
         depth = jnp.where(need, 0, depth)
         rr_off = (rr_off + n_need) % L
-
-        if fused:
-            # Same random stream as the jnp path: roulette's internal draw
-            # and cosine_hemisphere's (ku, kv) split, made explicit here.
-            u_r = jax.random.uniform(k_r, (N,))
-            ku, kv = jax.random.split(k_d)
-            u1 = jax.random.uniform(ku, (N,))
-            u2 = jax.random.uniform(kv, (N,))
-            seg = photon_segment(
-                scene, tbl, o, d, u_r, u1, u2, newton_fn=newton_fn,
-                compact_frac=scene.bezier_compact_frac, interpret=interp,
-            )
-            hitf, pos, n_hit = seg["hit"], seg["pos"], seg["n"]
-            dep_valid = hitf & seg["isd"]
-            dep = (pos, n_hit, f, dep_valid)
-            new_d = seg["new_d"]
-            new_f = seg["color"] * f
-            if debias_roulette:
-                dp, rp, rr = seg["powers"]
-                branch = seg["branch"]
-                allp = dp + rp + rr
-                bp = jnp.where(
-                    branch == 0.0, dp,
-                    jnp.where(branch == 1.0, rp, rr),
-                ) / jnp.where(allp > 0, allp, 1.0)
-                new_f = new_f / jnp.where(bp > 1e-8, bp, 1.0)[:, None]
-            depth = depth + 1
-            new_alive = hitf & (depth < segs)
-            return (pos, new_d, new_f, new_alive, depth, rr_off,
-                    emitted), dep
 
         rec = intersect_scene(scene, o, d, newton_fn=newton_fn)
         obj = jnp.clip(rec.obj_id, 0, scene.n_objects - 1)

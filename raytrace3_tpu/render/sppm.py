@@ -75,7 +75,6 @@ def photon_rounds(
     deposit_compact_frac: float = 1.0,
     debias_roulette: bool = False,
     regen: bool = False,
-    fused: bool = False,
 ):
     """Run the photon-mapping rounds (reference PhotonMap, Raytracer.h:210-295).
 
@@ -191,7 +190,6 @@ def photon_rounds(
                 scene, k, scene.light_pos, scene.light_color,
                 photons_per_round, pstate, max_depth,
                 debias_roulette=debias_roulette, newton_fn=newton_fn,
-                fused=fused,
             )
             dep, dropped = compact(dep)
             state, ovf = fold_state(state, dep)
@@ -217,7 +215,7 @@ def photon_rounds(
         )
         dep = photon_trace(scene, kt, org, dir, flux, max_depth,
                            debias_roulette=debias_roulette,
-                           newton_fn=newton_fn, fused=fused)
+                           newton_fn=newton_fn)
         dep, dropped = compact(dep)
         state, ovf = fold_state(state, dep)
         return (state, drops + dropped + ovf), None
@@ -264,7 +262,6 @@ def render_pass(
     photon_scene: Scene | None = None,
     photon_regen: bool = False,
     eye_compact_schedule: tuple = (),
-    fused_walk: bool = False,
 ):
     """One full SPPM pass: eye trace -> photon rounds -> pixel estimate.
 
@@ -276,7 +273,7 @@ def render_pass(
     hp, stats = eye_pass(
         scene, cam_org, cam_dir, hitpoint_capacity, max_depth, slots,
         init_r2, newton_fn=newton_fn,
-        compact_schedule=eye_compact_schedule, fused=fused_walk,
+        compact_schedule=eye_compact_schedule,
     )
     # The photon pass may use different static tuning (e.g. a much smaller
     # Bezier ray-compaction fraction: photons hit the teapot AABB on ~1% of
@@ -287,7 +284,7 @@ def render_pass(
         update_mode, deposit_fn, newton_fn,
         deposit_compact_frac=deposit_compact_frac,
         debias_roulette=debias_roulette,
-        regen=photon_regen, fused=fused_walk,
+        regen=photon_regen,
     )
     img = estimate_image(hp, cam_org.shape[0], emitted)
     stats = dict(stats)

@@ -44,10 +44,6 @@ class RenderConfig:
     #: each listed segment (slots=1 only); overflow is counted in "dropped".
     eye_compact_schedule: tuple = ()
     use_pallas: bool = False            # Pallas kernels for newton/deposit
-    #: Fused walk-segment Pallas kernel (ops/walk_pallas.py) for the eye and
-    #: photon traces.  Inference/bench fast path only: the fused segment has
-    #: no VJP, so gradient runs keep it off.
-    fused_walk: bool = False
     checkpoint_every: int = 0           # passes between checkpoints (0 = off)
     out: str = "render.png"
     dtype: str = "float32"
