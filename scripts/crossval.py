@@ -165,6 +165,15 @@ def main() -> int:
 
     import numpy as np
 
+    # Force the platform BEFORE any scene build: dump_atlas(get_scene(...))
+    # below creates jnp arrays, and array creation initialises the default
+    # backend — on this sandbox that is the axon TPU, which must never be
+    # touched by a second client while a TPU job is running.
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
     scene_name = "full" if args.textures else "full_flat"
     atlas_res = 64 if args.textures else 16
     tag = ("_tex" if args.textures else "") + (

@@ -3,6 +3,8 @@ xla_force_host_platform_device_count=8): sharded renders must agree with an
 equivalent single-device computation (SURVEY.md section 4, 'Distributed
 without a cluster')."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,6 +119,11 @@ def test_render_sharded_end_to_end():
     assert metrics["meter"]["passes"] == 1  # 2 passes in 1 super-pass
 
 
+@pytest.mark.skipif(os.environ.get("RT3_SLOW") != "1",
+                    reason="~8 min on the 2-core CPU host; the driver's "
+                           "multichip dryrun + the TINY sharded tests cover "
+                           "the wiring every run — set RT3_SLOW=1 for the "
+                           "full-scene capacity check (VERDICT r3 item 9)")
 def test_render_sharded_full_scene_128():
     """VERDICT round 2 weak item 6: the multichip dryrun's 16^2 toy shapes
     prove wiring, not capacity — run the FULL scene (textures + Bezier
