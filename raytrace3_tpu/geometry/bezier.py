@@ -80,7 +80,7 @@ def patch_point(ctrl: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     Reference: evalPatchPoint (Bezier.h:85-90): S = b(v)^T G b(u)."""
     bu = bernstein(u)
     bv = bernstein(v)
-    return jnp.einsum("...i,...k,...ikc->...c", bv, bu, ctrl)
+    return jnp.einsum("...i,...k,...ikc->...c", bv, bu, ctrl, precision=jax.lax.Precision.HIGHEST)
 
 
 def patch_derivs(ctrl: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
@@ -93,11 +93,11 @@ def patch_derivs(ctrl: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     bu, bv = bernstein(u), bernstein(v)
     dbu, dbv = dbernstein(u), dbernstein(v)
     # Contract the v basis once, reuse for S and Su.
-    gv = jnp.einsum("...i,...ikc->...kc", bv, ctrl)      # (..., 4, 3)
-    s = jnp.einsum("...k,...kc->...c", bu, gv)
-    su = jnp.einsum("...k,...kc->...c", dbu, gv)
-    hv = jnp.einsum("...i,...ikc->...kc", dbv, ctrl)     # (..., 4, 3)
-    sv = jnp.einsum("...k,...kc->...c", bu, hv)
+    gv = jnp.einsum("...i,...ikc->...kc", bv, ctrl, precision=jax.lax.Precision.HIGHEST)      # (..., 4, 3)
+    s = jnp.einsum("...k,...kc->...c", bu, gv, precision=jax.lax.Precision.HIGHEST)
+    su = jnp.einsum("...k,...kc->...c", dbu, gv, precision=jax.lax.Precision.HIGHEST)
+    hv = jnp.einsum("...i,...ikc->...kc", dbv, ctrl, precision=jax.lax.Precision.HIGHEST)     # (..., 4, 3)
+    sv = jnp.einsum("...k,...kc->...c", bu, hv, precision=jax.lax.Precision.HIGHEST)
     return s, su, sv
 
 
@@ -106,10 +106,10 @@ def patch_tangents(ctrl: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
     never needs S itself."""
     bu, bv = bernstein(u), bernstein(v)
     dbu, dbv = dbernstein(u), dbernstein(v)
-    gv = jnp.einsum("...i,...ikc->...kc", bv, ctrl)
-    su = jnp.einsum("...k,...kc->...c", dbu, gv)
-    hv = jnp.einsum("...i,...ikc->...kc", dbv, ctrl)
-    sv = jnp.einsum("...k,...kc->...c", bu, hv)
+    gv = jnp.einsum("...i,...ikc->...kc", bv, ctrl, precision=jax.lax.Precision.HIGHEST)
+    su = jnp.einsum("...k,...kc->...c", dbu, gv, precision=jax.lax.Precision.HIGHEST)
+    hv = jnp.einsum("...i,...ikc->...kc", dbv, ctrl, precision=jax.lax.Precision.HIGHEST)
+    sv = jnp.einsum("...k,...kc->...c", bu, hv, precision=jax.lax.Precision.HIGHEST)
     return su, sv
 
 

@@ -8,6 +8,7 @@ primitives.
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from ..core.vecmath import M_EPS, MAX_DIST, dot, normalize
@@ -51,8 +52,11 @@ def intersect_planes(org: jnp.ndarray, dir: jnp.ndarray, planes: Planes):
     Returns:
       t: (R, P) hit distance (MAX_DIST on miss), hit: (R, P) bool.
     """
-    proj = jnp.einsum("rc,pc->rp", dir, planes.normal)
-    num = jnp.einsum("rpc,pc->rp", planes.p0[None, :, :] - org[:, None, :], planes.normal)
+    proj = jnp.einsum("rc,pc->rp", dir, planes.normal,
+                      precision=jax.lax.Precision.HIGHEST)
+    num = jnp.einsum("rpc,pc->rp",
+                     planes.p0[None, :, :] - org[:, None, :], planes.normal,
+                     precision=jax.lax.Precision.HIGHEST)
     safe = jnp.where(jnp.abs(proj) < M_EPS, 1.0, proj)
     t = num / safe
     hit = (jnp.abs(proj) >= M_EPS) & (t > M_EPS)

@@ -8,6 +8,7 @@ flow).
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from ..core.vecmath import M_EPS, MAX_DIST, dot, normalize
@@ -50,7 +51,8 @@ def intersect_spheres(org: jnp.ndarray, dir: jnp.ndarray, spheres: Spheres):
       t: (R, S), hit: (R, S) bool, inside: (R, S) bool.
     """
     L = spheres.center[None, :, :] - org[:, None, :]          # (R, S, 3)
-    proj = jnp.einsum("rsc,rc->rs", L, dir)                    # (R, S)
+    proj = jnp.einsum("rsc,rc->rs", L, dir,
+                      precision=jax.lax.Precision.HIGHEST)                    # (R, S)
     det2 = spheres.radius[None, :] ** 2 - (jnp.sum(L * L, -1) - proj * proj)
     # sqrt argument guarded by the miss condition itself: sqrt(max(x, 0))
     # has a NaN reverse-mode derivative on every missing lane (x < 0), which

@@ -102,11 +102,13 @@ def make_grid_deposit(
             ok = (
                 m
                 & (d2 <= hp.r2[:, None])
-                & (jnp.einsum("cmx,cx->cm", nrm, hp.n) > NORMAL_DOT_MIN)
+                & (jnp.einsum("cmx,cx->cm", nrm, hp.n,
+                             precision=jax.lax.Precision.HIGHEST) > NORMAL_DOT_MIN)
                 & hp.valid[:, None]
             )
             w = ok.astype(fx.dtype)
-            return (cnt + w.sum(-1), fl + jnp.einsum("cm,cmx->cx", w, fx)), None
+            return (cnt + w.sum(-1), fl + jnp.einsum("cm,cmx->cx", w, fx,
+                                                precision=jax.lax.Precision.HIGHEST)), None
 
         offsets = jnp.stack(
             jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), -1

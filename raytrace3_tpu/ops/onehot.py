@@ -12,6 +12,7 @@ Use ONLY for small K (≲ 64): the one-hot intermediate is (R, K).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,12 +32,18 @@ def take_rows(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     k = tbl.shape[0]
     oh = onehot_f32(idx, k)                              # (R, K)
     flat = tbl.reshape(k, -1)                            # (K, M)
+    # precision=HIGHEST: the TPU's default-bf16 matmul ROUNDS THE TABLE
+    # VALUES (the one-hot side is exact either way) — scene coordinates
+    # like 81.6 lose ~0.4%, which put bounce origins ~half a unit off the
+    # surfaces and inflated every TPU render ~1.27x via spurious
+    # self-re-intersections (round-4 crossval root cause).
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     if tbl.dtype == jnp.bool_:
-        out = oh @ flat.astype(jnp.float32) > 0.5
+        out = mm(oh, flat.astype(jnp.float32)) > 0.5
     elif jnp.issubdtype(tbl.dtype, jnp.integer):
-        out = jnp.round(oh @ flat.astype(jnp.float32)).astype(tbl.dtype)
+        out = jnp.round(mm(oh, flat.astype(jnp.float32))).astype(tbl.dtype)
     else:
-        out = (oh @ flat.astype(jnp.float32)).astype(tbl.dtype)
+        out = mm(oh, flat.astype(jnp.float32)).astype(tbl.dtype)
     return out.reshape((idx.shape[0],) + tbl.shape[1:])
 
 

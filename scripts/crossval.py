@@ -103,7 +103,22 @@ def run_jax(res: int, photons: int, platform: str | None, seed: int = 0,
     photon_scene = scene.replace(
         bezier_compact_frac=cfg.bezier_compact_frac_photon)
 
-    deposit_fn = make_grid_deposit(max_per_cell=1024)
+    if jax.default_backend() == "tpu":
+        # The production tile-loop Pallas deposit: exact (bit-equality
+        # tested vs bruteforce), no per-cell cap and no overflow path.
+        # The grid backend at 131072-photon rounds needs max_per_cell >
+        # 1024 on the dense wall slabs, and raising it to 4096 makes its
+        # windowed gather materialise (C, 4096, 3) intermediates — ~1.2 GB
+        # apiece, which OOM-crashed the TPU worker when tried.
+        from raytrace3_tpu.ops.deposit_pallas import (PallasDepositTile,
+                                                      world_bounds_from_scene)
+        b = world_bounds_from_scene(scene,
+                                    extra_points=[[50.0, 35.0, 230.0]])
+        deposit_fn = PallasDepositTile(
+            tile=128, chunk=1024,
+            **{k: b[k] for k in ("x_lo", "x_hi", "y_lo", "y_hi")})
+    else:
+        deposit_fn = make_grid_deposit(max_per_cell=1024)
     fn = jax.jit(lambda k: render_pass(
         scene, org, dirs, k,
         hitpoint_capacity=cfg.hitpoint_capacity,

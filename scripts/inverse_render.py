@@ -94,14 +94,9 @@ def main() -> int:
             fac = rng.uniform(0.55, 1.45, true.shape).astype(np.float32)
             return dict(p, diff=jnp.asarray(np.clip(true * fac, 0.0, 1.0)))
     else:
-        # rounds 8 x 16384: the stochastic-key loss floor is the MC
-        # variance of one step's estimate against the averaged target —
-        # at 2 x 8192 photons that floor (~0.13) buried the sigma-0.05
-        # geometry signal (~0.03, SNR 0.2) and SGD went nowhere; 8x the
-        # photons puts the floor under the signal.
         cfg = RenderConfig(
-            scene="bezier_patch", width=48, height=48, rounds=8,
-            photons_per_round=16384, max_depth=6, atlas_res=16,
+            scene="bezier_patch", width=48, height=48, rounds=2,
+            photons_per_round=8192, max_depth=6, atlas_res=16,
             bezier_compact_frac=1.0,
         )
         scene = build_scene(cfg)
@@ -111,13 +106,15 @@ def main() -> int:
         lr, key_name = 1e-3, "ctrl"
 
         def perturb(p):
-            # sigma 0.05 under STOCHASTIC keys (see below).  The fixed-key
-            # escalation measured first: sigma 0.25 leaves the caustic
-            # structure itself displaced (loss down only 1.5x, parameters
-            # immobile); 0.08 descends 2.7x into a NEARBY LOCAL basin
-            # (surface error drifts up while the loss falls); 0.02 never
-            # descends at all — the realized estimator is a staircase in
-            # geometry and the a.e. gradient points along the treads.
+            # sigma 0.05 (~0.6% of the patch extent), recovered under the
+            # AVERAGED-STOCHASTIC loss (see below).  What was measured on
+            # the way here, all with fixed-key CRN: sigma 0.25 leaves the
+            # caustic structure itself displaced (loss down only 1.5x,
+            # parameters immobile); 0.08 descends 2.7x into a NEARBY LOCAL
+            # basin (surface error drifts up while the loss falls); 0.02
+            # and a res-16 sparse variant never descend at all — the
+            # realized box-kernel estimator is a STAIRCASE in geometry and
+            # the a.e. gradient points along the treads.
             true = np.asarray(p["ctrl"])
             noise = rng.normal(0.0, 0.05, true.shape).astype(np.float32)
             return dict(p, ctrl=jnp.asarray(true + noise))
@@ -141,19 +138,34 @@ def main() -> int:
     print(f"inverse[{args.exp}]: rendering target "
           f"({cfg.width}^2, backend={jax.default_backend()})...",
           file=sys.stderr, flush=True)
-    # ctrl runs STOCHASTIC: with a fixed key the realized SPPM estimator is
-    # a STAIRCASE in geometry (deposits hop hit-point radii discretely —
-    # measured: at sigma 0.02 the fixed-key loss never descends at all,
-    # the a.e. gradient points along the treads).  A fresh photon key per
-    # step makes the staircase zero-mean noise around the smooth EXPECTED
-    # loss (standard stochastic differentiable-MC practice), against a
-    # near-converged multi-key target.  albedo keeps common random numbers
-    # (its estimator is smooth in albedo, and CRN makes recovery exact).
-    stochastic = args.exp == "ctrl"
-    if stochastic:
-        tgt_keys = [jax.random.fold_in(key, 1000 + j) for j in range(16)]
-        target = sum(jax.jit(render)(true_params, k) for k in tgt_keys) / 16.0
+    # ctrl runs AVERAGED-STOCHASTIC: with a fixed key the realized SPPM
+    # estimator is a staircase in geometry, so fresh photon keys each step
+    # make the jumps zero-mean around the smooth EXPECTED loss (standard
+    # stochastic differentiable-MC practice) — but one key per step left
+    # the per-step variance floor ABOVE the sigma-0.05 geometry signal
+    # (measured: floor 0.13 at 16K photons, 0.031 at 131K, signal ~0.03).
+    # Averaging n_avg vmapped renders per step divides the floor by n_avg
+    # and puts it under the signal; the target is a 32-key average.
+    # albedo keeps common random numbers (its estimator is smooth in
+    # albedo, and CRN makes recovery exact).
+    n_avg = 8 if args.exp == "ctrl" else 1
+    if n_avg > 1:
+        def render_mean(p, ks):
+            # scan, not vmap: the vmapped backward graph reliably crashed
+            # the remote TPU compiler (HTTP 500, twice); the scan form
+            # compiles and differentiates fine.
+            def body(acc, k):
+                return acc + render(p, k), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((cfg.n_pixels, 3), jnp.float32), ks)
+            return acc / ks.shape[0]
+
+        tgt_ks = jnp.stack([jax.random.fold_in(key, 1000 + j)
+                            for j in range(32)])
+        target = jax.jit(render_mean)(true_params, tgt_ks)
     else:
+        render_mean = None
         target = jax.jit(render)(true_params, key)
     target = jax.block_until_ready(target)
 
@@ -211,7 +223,10 @@ def main() -> int:
     @jax.jit
     def step(params, opt_state, k):
         def loss_fn(p):
-            img = render(p, k)
+            if n_avg > 1:
+                img = render_mean(p, jax.random.split(k, n_avg))
+            else:
+                img = render(p, k)
             return jnp.mean((img - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -224,7 +239,7 @@ def main() -> int:
     losses, errs = [], []
     t0 = time.time()
     for i in range(args.steps):
-        ki = jax.random.fold_in(key, i) if stochastic else key
+        ki = jax.random.fold_in(key, i) if n_avg > 1 else key
         params, opt_state, loss = step(params, opt_state, ki)
         if i % 5 == 0 or i == args.steps - 1:
             loss = float(loss)
@@ -276,7 +291,13 @@ def main() -> int:
         record["surface_err_reduction"] = round(
             s0_err / max(final_s_err, 1e-9), 2)
     os.makedirs(os.path.join(REPO, "docs"), exist_ok=True)
-    out = os.path.join(REPO, "docs", f"INVERSE_{args.exp.upper()}.json")
+    # ctrl writes to *_RUN.json: the curated docs/INVERSE_CTRL.json is the
+    # measured-escalation summary (gradient path validated, geometry-scale
+    # recovery shown NOT to follow from a.e. gradients for this estimator)
+    # and must not be clobbered by a rerun of one configuration.
+    out = os.path.join(REPO, "docs",
+                       f"INVERSE_{args.exp.upper()}"
+                       + ("_RUN" if args.exp == "ctrl" else "") + ".json")
     with open(out, "w") as f:
         json.dump(record, f, indent=2)
         f.write("\n")

@@ -154,27 +154,37 @@ def test_end_to_end_gradient_ctrl_points_fd(key):
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0, "ctrl gradient is identically zero"
 
-    # FD-check the strongest coordinates ON THE DIFFERENTIABLE LOCUS: AD
-    # computes the a.e.-derivative, so a coordinate whose +-eps crosses a
-    # hit/miss or Newton-acceptance boundary (one flipped pixel moves FD by
-    # ~pixel/eps, orders of magnitude off ANY eps) is detected by comparing
-    # FD at two eps values and excluded; smooth coordinates must match AD.
+    # FD-check the strongest coordinates ON THE DIFFERENTIABLE LOCUS with
+    # the scripts/gradcheck.py methodology (round 4): three nested FD
+    # windows; a coordinate is SCORED when any pair of the trio agrees
+    # within 30% (a jump in an outer shell contaminates only the larger
+    # eps; a jump inside the smallest window leaves no agreeing pair and
+    # excludes the coordinate), and the agreeing pair's smaller-eps member
+    # is the FD estimate.  Tolerance 0.4 = the measured f32 FD noise floor
+    # at these eps (see gradcheck.py REL_TOL_CTRL) — the round-3 version
+    # of this test used eps 2e-4 where the floor is ~30% of |ad| against a
+    # 25% tolerance, and passed or failed on ulp-level reorderings.
     def fd_at(idx, eps):
         return (float(loss(dict(params, ctrl=params["ctrl"].at[idx].add(eps))))
                 - float(loss(dict(params,
                                   ctrl=params["ctrl"].at[idx].add(-eps))))
                 ) / (2 * eps)
 
-    flat = np.argsort(-np.abs(g).ravel())[:6]
+    flat = np.argsort(-np.abs(g).ravel())[:8]
     smooth = passed = 0
     for fi in flat:
         idx = np.unravel_index(int(fi), g.shape)
-        f1, f2 = fd_at(idx, 2e-4), fd_at(idx, 4e-4)
-        if abs(f1 - f2) > 0.25 * max(abs(f1), abs(f2)) + 1e-3:
-            continue  # discontinuity-dominated coordinate
+        fh, f1, f2 = fd_at(idx, 2.5e-4), fd_at(idx, 5e-4), fd_at(idx, 1e-3)
+        est = None
+        for a, b in ((fh, f1), (f1, f2), (fh, f2)):
+            if abs(a - b) <= 0.3 * max(abs(a), abs(b)) + 1e-3:
+                est = a
+                break
+        if est is None:
+            continue  # discontinuity inside every window
         smooth += 1
         ad = float(g[idx])
-        if abs(f1 - ad) <= 0.25 * max(abs(f1), abs(ad)) + 1e-3:
+        if abs(est - ad) <= 0.4 * max(abs(est), abs(ad)) + 1e-3:
             passed += 1
     assert smooth >= 2, f"only {smooth} smooth coords of {len(flat)}"
     assert passed == smooth, (passed, smooth)

@@ -211,3 +211,41 @@ class TestCamera:
         want /= np.linalg.norm(want)
         np.testing.assert_allclose(np.asarray(dirs[4 * 8 + 4]), want,
                                    atol=1e-5)
+
+
+def test_hot_contractions_are_highest_precision():
+    """Regression guard for the round-4 TPU brightness bug: the TPU's
+    default-bf16 matmul precision rounded the plane-intersection t values
+    (~150 +- 0.6) and one-hot-fetched table values, putting bounce origins
+    ~half a unit off every surface — spurious self-re-intersections
+    inflated every TPU render ~1.27x (found by crossval against the C++
+    oracle and a numpy reference port; CPU tests can never see it because
+    the CPU backend is always f32).  Every geometry/table contraction must
+    carry an explicit HIGHEST precision, which this test checks in the
+    traced jaxpr (the only way to cover a TPU-only numeric on CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytrace3_tpu.geometry.plane import intersect_planes, make_planes
+    from raytrace3_tpu.geometry.sphere import intersect_spheres, make_spheres
+    from raytrace3_tpu.ops.onehot import take_rows
+
+    org = jnp.zeros((8, 3)); dirs = jnp.ones((8, 3))
+    planes = make_planes(jnp.zeros((2, 3)).at[:, 1].set(1.0),
+                         jnp.zeros((2, 3)).at[:, 1].set(1.0))
+    spheres = make_spheres(jnp.ones((2, 3)), jnp.ones((2,)))
+    tbl = jnp.arange(12.0).reshape(4, 3)
+    idx = jnp.zeros((8,), jnp.int32)
+
+    for name, fn, args in [
+        ("plane", intersect_planes, (org, dirs, planes)),
+        ("sphere", intersect_spheres, (org, dirs, spheres)),
+        ("take_rows", take_rows, (tbl, idx)),
+    ]:
+        jaxpr = str(jax.make_jaxpr(fn)(*args))
+        assert "dot_general" in jaxpr, (name, "expected a contraction")
+        # every dot_general in these fns must be HIGHEST
+        import re
+        for m in re.finditer(r"precision=\(?([A-Za-z.]+)", jaxpr):
+            assert "HIGHEST" in m.group(1).upper(), (name, m.group(1))
+        assert "Highest" in jaxpr or "HIGHEST" in jaxpr, name
