@@ -64,3 +64,16 @@ def test_gradcheck_artifact_recorded():
     for name, g in rec["groups"].items():
         assert g["group_pass"], (name, {k: g[k] for k in
                                         ("checked", "passed", "pass_rate")})
+
+
+def test_crossval_textured_and_sppm_artifacts_recorded():
+    """Round-4: the UV-quirk texture paths and the live radius-shrink mode
+    are cross-validated against the C++ oracle (VERDICT round 3 item 4);
+    regenerate with scripts/crossval.py --textures / --update-mode sppm."""
+    for name in ("CROSSVAL_TEX.json", "CROSSVAL_SPPM.json"):
+        path = os.path.join(REPO, "docs", name)
+        assert os.path.exists(path), f"{name} missing - run scripts/crossval.py"
+        rec = json.load(open(path))
+        assert rec["pass"], (name, rec)
+        assert rec["rel_err_mean"] < 0.10, (name, rec["rel_err_mean"])
+        assert rec["jax_stats"]["deposits_dropped"] == 0, name
