@@ -45,7 +45,8 @@ def inject_params(scene: Scene, params: dict) -> Scene:
 
 
 def default_deposit_vjp(scene: Scene, cfg: RenderConfig, camera_pose=None,
-                        backend: str | None = None):
+                        backend: str | None = None,
+                        capacity: int | None = None):
     """Pick the gradient-path deposit backend.
 
     On TPU at >=256^2 the O(C*D) bruteforce VJP's MXU contraction stops
@@ -56,8 +57,16 @@ def default_deposit_vjp(scene: Scene, cfg: RenderConfig, camera_pose=None,
     small canvases) the bruteforce VJP stays — simpler and exactly as
     accurate.  Reference: the kd-tree deposit loop this differentiates
     through, raytracer/Raytracer.h:137-159.
+
+    ``capacity``: the PER-DEVICE hit-point capacity the backend will see —
+    pass the shard size when photons are sharded (ADVICE round 4: sizing
+    the work cap from the GLOBAL capacity picked the big-buffer cap for
+    shards that hold 1/n of the hit points).  Defaults to the global
+    ``cfg.hitpoint_capacity``.
     """
     backend = backend or jax.default_backend()
+    if capacity is None:
+        capacity = cfg.hitpoint_capacity
     if backend == "tpu" and cfg.n_pixels >= 256 * 256:
         from ..ops.deposit_pallas import (PallasDepositLane,
                                           world_bounds_from_scene)
@@ -65,7 +74,7 @@ def default_deposit_vjp(scene: Scene, cfg: RenderConfig, camera_pose=None,
                else [50.0, 35.0, 230.0])                 # main.cpp:24
         bounds = world_bounds_from_scene(
             scene, extra_points=[[float(x) for x in pos]])
-        big = cfg.hitpoint_capacity > (1 << 19)
+        big = capacity > (1 << 19)
         return PallasDepositLane(
             tile=256, chunk=512, work_cap=49152 if big else 16384,
             differentiable=True, **bounds)
@@ -73,8 +82,14 @@ def default_deposit_vjp(scene: Scene, cfg: RenderConfig, camera_pose=None,
 
 
 def make_render_fn(scene: Scene, cfg: RenderConfig, camera_pose=None,
-                   newton_fn=None, deposit_fn=None):
-    """(params, key) -> (H*W, 3) differentiable image."""
+                   newton_fn=None, deposit_fn=None,
+                   with_drops: bool = False):
+    """(params, key) -> (H*W, 3) differentiable image.
+
+    ``with_drops``: also return the pass's ``deposits_dropped`` counter —
+    on the gradient path a work-cap overflow silently drops real flux AND
+    the corresponding gradient contributions, so training entry points
+    surface it (ADVICE round 4)."""
     if camera_pose is None:
         import numpy as np
 
@@ -90,7 +105,7 @@ def make_render_fn(scene: Scene, cfg: RenderConfig, camera_pose=None,
 
     def render(params, key):
         s = inject_params(scene, params)
-        img, _ = render_pass(
+        img, stats = render_pass(
             s, org, dir, key,
             hitpoint_capacity=cfg.hitpoint_capacity,
             n_rounds=cfg.rounds,
@@ -102,6 +117,8 @@ def make_render_fn(scene: Scene, cfg: RenderConfig, camera_pose=None,
             deposit_fn=deposit_fn,
             newton_fn=newton_fn,
         )
+        if with_drops:
+            return img, stats["deposits_dropped"]
         return img
 
     return render
@@ -112,7 +129,15 @@ def make_train_step(scene: Scene, cfg: RenderConfig, optimizer=None,
                     mesh=None):
     """Build (init_fn, step_fn) for inverse rendering.
 
-    step_fn(params, opt_state, key, target) -> (params, opt_state, loss).
+    step_fn(params, opt_state, key, target)
+        -> (params, opt_state, loss, stats)
+    where ``stats["deposits_dropped"]`` is the forward pass's dropped-flux
+    counter.  A nonzero value means the deposit work cap clipped real flux
+    AND its gradient contributions — the gradient is silently biased, so
+    the counter is surfaced from every train entry point rather than
+    swallowed (ADVICE round 4); callers should treat nonzero as a
+    configuration error and raise the cap.
+
     With ``mesh`` given, the loss is computed under ``shard_map`` with
     photons sharded over the PHOTON axis; AD transposition inserts the
     gradient psum (the all-reduce the reference never had).
@@ -121,21 +146,23 @@ def make_train_step(scene: Scene, cfg: RenderConfig, optimizer=None,
         optimizer = optax.adam(1e-2)
 
     if mesh is None:
-        render = make_render_fn(scene, cfg, camera_pose, newton_fn, deposit_fn)
+        render = make_render_fn(scene, cfg, camera_pose, newton_fn,
+                                deposit_fn, with_drops=True)
 
         def loss_fn(params, key, target):
-            img = render(params, key)
-            return jnp.mean((img - target.reshape(-1, 3)) ** 2)
+            img, drops = render(params, key)
+            return jnp.mean((img - target.reshape(-1, 3)) ** 2), drops
     else:
         loss_fn = _make_sharded_loss(scene, cfg, mesh, camera_pose,
                                      newton_fn, deposit_fn)
 
     @jax.jit
     def step_fn(params, opt_state, key, target):
-        loss, grads = jax.value_and_grad(loss_fn)(params, key, target)
+        (loss, drops), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, key, target)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, {"deposits_dropped": drops}
 
     def init_fn(params):
         return optimizer.init(params)
@@ -172,7 +199,13 @@ def _make_sharded_loss(scene: Scene, cfg: RenderConfig, mesh, camera_pose,
     ray_shard = R // n_photon
     local_capacity = cfg.hitpoint_capacity // n_photon
     local_photons = cfg.photons_per_round // n_photon
-    dep_fn = deposit_fn or default_deposit_vjp(scene, cfg, camera_pose)
+    # The deposit work volume per device is ~ C x (D / n_photon): hit
+    # points are all-gathered back to full capacity but each device only
+    # deposits its photon shard — size the cap from the per-shard share
+    # (ADVICE round 4).  Undersizing is loud, not silent: the aux drops
+    # counter below carries any overflow out of the train step.
+    dep_fn = deposit_fn or default_deposit_vjp(
+        scene, cfg, camera_pose, capacity=local_capacity)
 
     def loss_fn(params, key, target):
         # params/key/target enter through in_specs (replicated) rather than
@@ -198,14 +231,16 @@ def _make_sharded_loss(scene: Scene, cfg: RenderConfig, mesh, camera_pose,
                                              tiled=True),
                 hp_local,
             )
-            hp, _, _ = photon_rounds(
+            hp, _, drops = photon_rounds(
                 s, jax.random.fold_in(kpass, fi), hp, cfg.rounds,
                 local_photons, cfg.max_depth, cfg.update_mode, dep_fn,
                 newton_fn, psum_axis=PHOTON_AXIS,
             )
             img = estimate_image(hp, R, cfg.rounds * cfg.photons_per_round)
             loss = jnp.mean((img - target.reshape(-1, 3)) ** 2)
-            return jax.lax.pmean(loss, PASS_AXIS)
+            # Total dropped deposits across the whole mesh (loud overflow).
+            drops = jax.lax.psum(jax.lax.psum(drops, PHOTON_AXIS), PASS_AXIS)
+            return jax.lax.pmean(loss, PASS_AXIS), drops
 
         return jax.shard_map(
             body, mesh=mesh,

@@ -76,8 +76,14 @@ def check_group(loss, params, name, coords, eps, grads):
     still measure the derivative — the round-2/3 criterion (all three
     agree) threw those coordinates away and starved the ctrl group down to
     1 scored check (VERDICT round 3 item 3's root cause).  Scored instead
-    when ANY pair of the trio agrees within 30%, taking the agreeing
-    pair's smaller-eps member as the FD estimate; a jump inside
+    when an ADJACENT pair of the trio agrees within 30% — (fd_half, fd) or
+    (fd, fd_2eps) — taking the agreeing pair's smaller-eps member as the
+    FD estimate.  The non-adjacent (fd_half, fd_2eps) pair is NOT accepted
+    (ADVICE round 4): under the nested-shell jump model a jump in
+    [eps, 2 eps] contaminates only fd_2eps and one in [eps/2, eps]
+    contaminates both fd and fd_2eps, so no explainable contamination
+    pattern leaves the outer pair agreeing while the middle disagrees —
+    such a coordinate is unexplained, not certified.  A jump inside
     [0, eps/2] contaminates all three, no pair agrees, and the coordinate
     is excluded as "discont" as before."""
     import numpy as np
@@ -94,8 +100,8 @@ def check_group(loss, params, name, coords, eps, grads):
 
         fd_h, fd, fd2 = fd_at(eps / 2), fd_at(eps), fd_at(2 * eps)
         ad = float(g[idx])
-        # pairs in preference order: smaller-eps members first
-        pairs = [(fd_h, fd), (fd, fd2), (fd_h, fd2)]
+        # adjacent pairs only, smaller-eps members first (see docstring)
+        pairs = [(fd_h, fd), (fd, fd2)]
         fd_est = None
         for a, b in pairs:
             if abs(a - b) <= 0.3 * max(abs(a), abs(b)) + 1e-3:

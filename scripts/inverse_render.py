@@ -209,8 +209,12 @@ def main() -> int:
 
         @jax.jit
         def _surf(c):
-            # S(v=gu[i], u=gu[j]) for every patch: (B, 24, 24, 3)
-            return jnp.einsum("ia,jb,pabc->pijc", bv, bv, c)
+            # S(v=gu[i], u=gu[j]) for every patch: (B, 24, 24, 3).
+            # HIGHEST is load-bearing (ADVICE round 4): on TPU the default
+            # bf16 matmul rounds ctrl coords (z ~ 116, bf16 ulp 0.5) against
+            # a sigma-0.05 signal — ~14% distortion of the surface metric.
+            return jnp.einsum("ia,jb,pabc->pijc", bv, bv, c,
+                              precision=jax.lax.Precision.HIGHEST)
 
         s_true = _surf(true_params["ctrl"])
 

@@ -75,7 +75,7 @@ def main() -> int:
     params, opt_state, target = put(params), put(opt_state), put(target)
     key = put(jax.random.PRNGKey(0))  # raw uint32 key: plain-dtype global array
 
-    params2, _, loss = step_fn(params, opt_state, key, target)
+    params2, _, loss, _ = step_fn(params, opt_state, key, target)
     jax.block_until_ready(params2)
 
     # Both processes must see the same finite loss (psum'd over the mesh).

@@ -73,8 +73,9 @@ def main() -> int:
     target = jnp.zeros((cfg.height, cfg.width, 3))
 
     t0 = time.perf_counter()
-    params, opt_state, loss = step_fn(params, opt_state, key, target)
+    params, opt_state, loss, tstats = step_fn(params, opt_state, key, target)
     jax.block_until_ready(loss)
+    assert int(tstats["deposits_dropped"]) == 0, tstats
     compile_s = time.perf_counter() - t0
     print(f"trainstep: compile+first {compile_s:.1f}s loss={float(loss):.4g}",
           file=sys.stderr, flush=True)
@@ -85,7 +86,7 @@ def main() -> int:
     losses = []
     t0 = time.perf_counter()
     for k in keys:
-        params, opt_state, loss = step_fn(params, opt_state, k, target)
+        params, opt_state, loss, _ = step_fn(params, opt_state, k, target)
         losses.append(loss)
     jax.device_get(jnp.stack(losses).sum())
     dt = (time.perf_counter() - t0) / args.steps

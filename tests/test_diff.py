@@ -206,8 +206,10 @@ def test_train_step_reduces_loss(key):
     params = p0
     losses = []
     for i in range(5):
-        params, opt_state, loss = step_fn(params, opt_state, key, target)
+        params, opt_state, loss, tstats = step_fn(params, opt_state, key,
+                                                  target)
         losses.append(float(loss))
+        assert int(tstats["deposits_dropped"]) == 0
     assert losses[-1] < losses[0], losses
 
 
@@ -225,9 +227,10 @@ def test_sharded_train_step_runs(key):
     params = extract_params(scene)
     opt_state = init_fn(params)
     target = jnp.zeros((cfg.height, cfg.width, 3))
-    params2, _, loss = step_fn(params, opt_state, key, target)
+    params2, _, loss, tstats = step_fn(params, opt_state, key, target)
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(params2["diff"])).all()
+    assert int(tstats["deposits_dropped"]) == 0
 
 
 def test_default_deposit_vjp_selection():

@@ -207,7 +207,7 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     opt_state = init_fn(params)
     key = jax.random.key(0)
     target = np.zeros((cfg.height, cfg.width, 3), np.float32)
-    params, opt_state, _ = step_fn(params, opt_state, key, target)
+    params, opt_state, _, _ = step_fn(params, opt_state, key, target)
 
     path = str(tmp_path / "train.npz")
     ckpt.save_tree(path, {"params": params, "opt": opt_state}, step=1)
@@ -220,8 +220,8 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     # a step from the restored state matches a step from the live state
-    p1, _, l1 = step_fn(params, opt_state, key, target)
-    p2, _, l2 = step_fn(restored["params"], restored["opt"], key, target)
+    p1, _, l1, _ = step_fn(params, opt_state, key, target)
+    p2, _, l2, _ = step_fn(restored["params"], restored["opt"], key, target)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
