@@ -207,6 +207,18 @@ class PallasDeposit:
         t = self.tile
         return ((C + t - 1) // t) * t + (self.n_buckets + 1) * t
 
+    def _build_windows(self, packed, tv, kb, ylo_q, yhi_q):
+        """Per-tile (lo_keys, hi_keys), each (n_tiles, K): the deposit-key
+        windows whose union covers every possible neighbour.  Base form:
+        static bucket-id offsets around the tile's own bucket."""
+        offs_lo = jnp.asarray(self.win_offs_lo, jnp.int32)
+        offs_hi = jnp.asarray(self.win_offs_hi, jnp.int32)
+        lo_keys = ((kb[:, None] + offs_lo[None, :]) * self.y_stride
+                   + ylo_q[:, None])
+        hi_keys = ((kb[:, None] + offs_hi[None, :]) * self.y_stride
+                   + yhi_q[:, None])
+        return lo_keys, hi_keys
+
     def _sentinel_key(self) -> int:
         """Key for invalid deposit lanes: beyond every window, including
         windows of the sentinel hit-point bucket and wrapped neighbours."""
@@ -283,12 +295,7 @@ class PallasDeposit:
         yhi_q = jnp.clip(jnp.ceil((y_hi - self.y_lo) * YQ), -1e9,
                          self.y_range).astype(jnp.int32)
 
-        offs_lo = jnp.asarray(self.win_offs_lo, jnp.int32)
-        offs_hi = jnp.asarray(self.win_offs_hi, jnp.int32)
-        lo_keys = ((kb[:, None] + offs_lo[None, :]) * self.y_stride
-                   + ylo_q[:, None])
-        hi_keys = ((kb[:, None] + offs_hi[None, :]) * self.y_stride
-                   + yhi_q[:, None])
+        lo_keys, hi_keys = self._build_windows(packed, tv, kb, ylo_q, yhi_q)
         big = self._sentinel_key() + self.y_stride
         lo_keys = jnp.where(dead1[:, None], big, lo_keys)
         hi_keys = jnp.where(dead1[:, None], big, hi_keys)
@@ -1003,6 +1010,97 @@ class PallasDepositTile(PallasDepositLane):
         # Every tile gets a grid step and writes its out block (the chunk
         # loop is in-kernel), so no handled-masking and no overflow path.
         return out[:, 0], out[:, 1:4], jnp.zeros((), jnp.int32)
+
+
+class PallasDepositZTile(PallasDepositTile):
+    """Two-level banded tile-loop deposit: COARSE z-buckets inside each
+    2r x-band (round-5 kernel; the kd-tree radius-query replacement,
+    raytracer/Raytracer.h:137-159).
+
+    Attacks the measured dense-slab floor of 1-D banding (docs/PERF.md
+    round 3): the wall planes concentrate ~1/3 of hit points AND deposits
+    in single x-slabs, and a y-sorted tile there spans the slab's FULL
+    z-extent, so its y-window fetches every z.  Round-3's fix attempt —
+    2r-square (x, z) buckets — broke y-locality instead (a 2.83-unit
+    bucket holds < 1 tile, so tiles spanned the bucket's whole y-range).
+
+    The resolution is SCALE SEPARATION: z-buckets much COARSER than 2r
+    (``z_coarse``, default 8 x 2r ~ 22 units) so each (x-band, z-bucket)
+    still holds many tiles and y-sorting inside stays effective, while a
+    tile's deposit fetch drops to its own z-bucket's y-window plus (only
+    when the tile's z-range +- r crosses a coarse boundary) a neighbour
+    z-bucket — cutting the dense-slab candidate volume by ~ z-extent /
+    z_coarse instead of 1-D's nothing.
+
+    Sort keys become (kx, kz_coarse, quantized y); hit points are sorted
+    and tile-padded per (kx, kz) bucket; per tile the K = 6 window slots
+    are 3 dx x {[kz_lo], [kz_lo+1 .. kz_hi]} with the tile's own y-window
+    (the second slot is empty when the tile fits one z-bucket; a > 2-bucket
+    z-span — rare, only tiles crossing geometry — widens to the full key
+    range between, a conservative superset).  Exactness is unchanged:
+    windows are supersets and the in-kernel d2/r2/normal test is the true
+    filter, exactly as the base class.
+    """
+
+    def __init__(self, tile: int = 128, chunk: int = 1024,
+                 z_coarse: float = 8.0 * 2.0 * SEARCH_R,
+                 z_lo: float = DEFAULT_Z_LO, z_hi: float = DEFAULT_Z_HI,
+                 **kw):
+        kw["bucket2d"] = False
+        super().__init__(tile=tile, chunk=chunk, z_lo=z_lo, z_hi=z_hi, **kw)
+        self.z_coarse = float(z_coarse)
+        self.n_bzc = int(math.ceil((z_hi - z_lo) / self.z_coarse)) + 1
+        self.n_buckets = self.n_bx * self.n_bzc
+        # K = 6 window slots (3 dx x 2 z-slots); windows are built per tile
+        # in _build_windows — only len(win_offs) is consumed downstream.
+        self.win_offs = [0] * 6
+        self.win_offs_lo = self.win_offs
+        self.win_offs_hi = self.win_offs
+
+    def _bid(self, pos):
+        kx = jnp.clip(
+            jnp.floor((pos[:, self.ax] - self.x_lo) / self.bucket)
+            .astype(jnp.int32),
+            0, self.n_bx - 1,
+        )
+        kz = jnp.clip(
+            jnp.floor((pos[:, self.az] - self.z_lo) / self.z_coarse)
+            .astype(jnp.int32),
+            0, self.n_bzc - 1,
+        )
+        return kx * self.n_bzc + kz
+
+    def _sentinel_key(self) -> int:
+        # Above every window key: hi windows reach at most bucket
+        # (n_bx)*n_bzc + n_bzc - 1 = n_buckets + n_bzc - 1.
+        return (self.n_buckets + self.n_bzc + 2) * self.y_stride
+
+    def _build_windows(self, packed, tv, kb, ylo_q, yhi_q):
+        n_tiles = kb.shape[0]
+        t = self.tile
+        kx_t = kb // self.n_bzc
+        tz = packed[:, self.az].reshape(n_tiles, t)
+        z_lo_t = jnp.where(tv, tz, jnp.inf).min(1) - self.search_r
+        z_hi_t = jnp.where(tv, tz, -jnp.inf).max(1) + self.search_r
+        # inf on dead tiles: clip BEFORE astype (prepare() masks them to
+        # the sentinel afterwards via dead1, values here are don't-cares).
+        kz_lo = jnp.clip(
+            jnp.floor((z_lo_t - self.z_lo) / self.z_coarse),
+            0, self.n_bzc - 1).astype(jnp.int32)
+        kz_hi = jnp.clip(
+            jnp.floor((z_hi_t - self.z_lo) / self.z_coarse),
+            0, self.n_bzc - 1).astype(jnp.int32)
+        cols_lo, cols_hi = [], []
+        for dx in (-1, 0, 1):
+            b = (kx_t + dx) * self.n_bzc
+            # slot A: the tile's lowest overlapped z-bucket, y-window
+            cols_lo.append((b + kz_lo) * self.y_stride + ylo_q)
+            cols_hi.append((b + kz_lo) * self.y_stride + yhi_q)
+            # slot B: remaining z-buckets [kz_lo+1 .. kz_hi]; when the
+            # tile fits one bucket (kz_hi == kz_lo) lo > hi -> empty.
+            cols_lo.append((b + kz_lo + 1) * self.y_stride + ylo_q)
+            cols_hi.append((b + kz_hi) * self.y_stride + yhi_q)
+        return jnp.stack(cols_lo, 1), jnp.stack(cols_hi, 1)
 
 
 def _stream_kernel(itf_ref, itab_ref, st_ref, en_ref, hp_ref, dep_hbm,

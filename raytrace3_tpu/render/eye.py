@@ -66,8 +66,13 @@ def eye_stage_widths(n_rays: int, schedule: tuple,
     """
     segs_total = max_depth + 1
     bounds = [0] + [seg for seg, _ in schedule] + [segs_total]
-    widths = [n_rays] + [max(128, -(-int(n_rays * f)) // 128 * 128)
-                         for _, f in schedule]
+    # The 128-lane floor (one full VPU row) can exceed a SMALL ray batch
+    # (e.g. a per-shard ray slice under photon-axis sharding): clamp each
+    # stage to the incoming width — a stage never widens the wavefront.
+    widths = [n_rays]
+    for _, f in schedule:
+        w = max(128, -(-int(n_rays * f)) // 128 * 128)
+        widths.append(min(w, widths[-1]))
     return [(hi - lo, w)
             for lo, hi, w in zip(bounds[:-1], bounds[1:], widths)]
 

@@ -64,7 +64,8 @@ def main() -> int:
     from raytrace3_tpu.ops.deposit_pallas import (PallasDeposit,
                                                   PallasDepositLane,
                                                   PallasDepositStream,
-                                                  PallasDepositTile)
+                                                  PallasDepositTile,
+                                                  PallasDepositZTile)
 
     segs, N = 14, 131072
     D = int(os.environ.get("RT3_SWEEP_D", segs * N))
@@ -123,6 +124,23 @@ def main() -> int:
                                            bucket2d=False, packed=True,
                                            **b1)),
     ]
+    # Round-5 anchor: the bench default (tile-loop 1-D t128 ch1024, packed
+    # layout-space call) — what the z-tile variants must beat.
+    configs.append(("tile1d_t128_ch1024_packed",
+                    dict(cls=T, tile=128, chunk=1024, bucket2d=False,
+                         packed=True, **b1)))
+    # Round-5 sweep #7: coarse-z two-level banding (PallasDepositZTile) —
+    # scale-separated z-buckets inside each 2r x-band; attacks the
+    # dense-slab floor (1/3 of points in one x-slab -> y-windows fetch
+    # every z).  All timed as packed (layout-space) calls like the bench.
+    Z = PallasDepositZTile
+    zb = dict(x_lo=-4.0, x_hi=104.0, z_lo=-4.0, z_hi=184.0)
+    for zc in (11.3, 16.0, 22.6, 32.0, 45.0):
+        for t_, ch in ((128, 1024), (128, 512), (256, 1024), (64, 512)):
+            configs.append((
+                f"ztile_zc{zc}_t{t_}_ch{ch}_packed",
+                dict(cls=Z, tile=t_, chunk=ch, z_coarse=zc, packed=True,
+                     **zb)))
     sel = os.environ.get("RT3_SWEEP")
     if sel:
         keep = {int(i) for i in sel.split(",")}

@@ -464,3 +464,58 @@ def test_stream_deposit_matches_bruteforce(rng):
         np.testing.assert_array_equal(np.asarray(d_n), np.asarray(want_n))
         np.testing.assert_allclose(np.asarray(d_tao), np.asarray(want_t),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_ztile_deposit_matches_bruteforce(rng):
+    """Coarse-z two-level banding (PallasDepositZTile, round 5): bit-exact
+    counts vs the oracle on uniform + adversarial wall distributions,
+    across z_coarse scales — including ones small enough that tiles span
+    SEVERAL coarse z-buckets (the conservative multi-bucket window path)."""
+    from raytrace3_tpu.ops.deposit_pallas import PallasDepositZTile
+
+    for hp, dep in (_random_case(rng, C=400, D=900), _wall_case(rng)):
+        bc, bt = jax.jit(deposit_bruteforce)(hp, dep)
+        for z_coarse in (4.0, 12.0, 40.0, 500.0):
+            pd = PallasDepositZTile(
+                tile=32, chunk=128, z_coarse=z_coarse, interpret=True,
+                x_lo=-8.0, x_hi=48.0, z_lo=-8.0, z_hi=170.0,
+                y_lo=-8.0, y_hi=88.0)
+            tag = f"z_coarse={z_coarse}"
+            gc, gt, ovf = jax.jit(pd)(hp, dep)
+            assert int(ovf) == 0, tag
+            np.testing.assert_allclose(np.asarray(gc), np.asarray(bc),
+                                       rtol=1e-5, err_msg=tag)
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(bt),
+                                       rtol=2e-4, atol=1e-4, err_msg=tag)
+
+
+def test_ztile_deposit_prep_reuse_and_packed(rng):
+    """PallasDepositZTile: prepared-layout reuse across shrinking radii and
+    the layout-space packed_call both match the oracle."""
+    from raytrace3_tpu.ops.deposit_pallas import PallasDepositZTile
+
+    hp, dep = _wall_case(rng, C=300, D=1200)
+    pd = PallasDepositZTile(tile=32, chunk=128, z_coarse=12.0,
+                            interpret=True, x_lo=-8.0, x_hi=48.0,
+                            z_lo=-8.0, z_hi=170.0, y_lo=-8.0, y_hi=88.0)
+    prep = pd.prepare(hp)
+    for scale in (1.0, 0.6):
+        hp2 = hp.replace(r2=hp.r2 * scale)
+        a = pd(hp2, dep, prep=prep)
+        bc, bt = deposit_bruteforce(hp2, dep)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(bc),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(bt),
+                                   rtol=2e-4, atol=1e-4)
+    # layout space: pack, call, unpack == hp-space call
+    r2_pad, wgt_pad = pd.pack_state(hp, prep)
+    cnt_p, fl_p, ovf = pd.packed_call(r2_pad, dep, prep)
+    assert int(ovf) == 0
+    cnt, fl = pd.unpack_state(prep, cnt_p, fl_p)
+    d_tao = np.asarray(hp.wgt) * np.asarray(fl) / np.pi
+    bc, bt = deposit_bruteforce(hp, dep)
+    np.testing.assert_allclose(np.asarray(cnt) * np.asarray(hp.valid),
+                               np.asarray(bc), rtol=1e-5)
+    np.testing.assert_allclose(
+        d_tao * np.asarray(hp.valid)[:, None], np.asarray(bt),
+        rtol=2e-4, atol=1e-4)
