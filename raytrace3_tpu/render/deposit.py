@@ -65,11 +65,24 @@ def pair_d2_ndot(hp_pos, hp_n, dp, dn):
     return d2, ndot
 
 
-def _chunk_contrib(hp_pos, hp_n, hp_r2, hp_valid, dp, dn, df, dv):
+def _chunk_contrib(hp_pos, hp_n, hp_r2, hp_valid, dp, dn, df, dv,
+                   kernel: str = "box"):
     """Contribution of one deposit chunk to every hit point.
 
     Returns (d_count (C,), d_flux (C, 3)); d_flux EXCLUDES the wgt/pi factor
     (applied once by the caller).
+
+    ``kernel``: the density kernel weighting each neighbour's flux.
+      * "box" — the reference's uniform disc (Raytracer.h:156): weight 1.
+      * "epanechnikov" — weight 2 (1 - d2/r2): integrates to 1 over the
+        disc like the box (same 1/(pi r2) image normalisation applies), but
+        the weight is CONTINUOUS at the radius boundary, so the estimator's
+        a.e. derivative w.r.t. positions and r2 EQUALS its distributional
+        derivative — the boundary term that makes box-kernel geometry
+        gradients unusable (docs/INVERSE_CTRL.json) vanishes.  Plain-AD
+        differentiable end to end (d2 and r2 feed the weight).
+    The photon COUNT stays box-counted under both kernels (it drives the
+    reference's radius shrink, Raytracer.h:69-79, whose semantics we keep).
     """
     d2, ndot = pair_d2_ndot(hp_pos, hp_n, dp, dn)        # (C, J)
     mask = (
@@ -79,15 +92,25 @@ def _chunk_contrib(hp_pos, hp_n, hp_r2, hp_valid, dp, dn, df, dv):
         & hp_valid[:, None]
     )
     w = mask.astype(dp.dtype)
-    return jnp.sum(w, axis=1), jnp.matmul(w, df, precision=_PREC)
+    if kernel == "epanechnikov":
+        r2s = jnp.where(hp_r2 > 0, hp_r2, 1.0)
+        wf = w * 2.0 * (1.0 - d2 / r2s[:, None])
+    elif kernel == "box":
+        wf = w
+    else:
+        raise ValueError(f"unknown deposit kernel: {kernel}")
+    return jnp.sum(w, axis=1), jnp.matmul(wf, df, precision=_PREC)
 
 
-def deposit_bruteforce(hp: HitPoints, dep: Deposits, chunk: int = 4096):
+def deposit_bruteforce(hp: HitPoints, dep: Deposits, chunk: int = 4096,
+                       kernel: str = "box"):
     """All-pairs deposit accumulation, chunked over deposits.
 
     Returns:
       d_nphot: (C,) photon count increments (reference ``newN++``),
-      d_tao:   (C, 3) flux increments ``wgt * sum(flux) / pi``.
+      d_tao:   (C, 3) flux increments ``wgt * sum(k_w * flux) / pi``.
+    ``kernel``: see ``_chunk_contrib`` — "box" (reference parity, default)
+    or "epanechnikov" (smooth opt-in for geometry gradients).
     """
     D = dep.pos.shape[0]
     pad = (-D) % chunk
@@ -101,7 +124,8 @@ def deposit_bruteforce(hp: HitPoints, dep: Deposits, chunk: int = 4096):
         cnt, fl = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)
         dc, dfl = _chunk_contrib(
-            hp.pos, hp.n, hp.r2, hp.valid, sl(dp), sl(dn), sl(df), sl(dv)
+            hp.pos, hp.n, hp.r2, hp.valid, sl(dp), sl(dn), sl(df), sl(dv),
+            kernel=kernel,
         )
         return (cnt + dc, fl + dfl), None
 
@@ -113,3 +137,9 @@ def deposit_bruteforce(hp: HitPoints, dep: Deposits, chunk: int = 4096):
     )
     d_tao = hp.wgt * fl / jnp.pi                         # Raytracer.h:156
     return cnt, d_tao
+
+
+def deposit_bruteforce_epa(hp: HitPoints, dep: Deposits, chunk: int = 4096):
+    """The smooth-kernel (Epanechnikov) bruteforce deposit — the opt-in
+    geometry-gradient estimator (``kernel="epanechnikov"`` above)."""
+    return deposit_bruteforce(hp, dep, chunk=chunk, kernel="epanechnikov")

@@ -46,6 +46,15 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    # The deposit density kernel (VERDICT round 4 item 4): "box" is the
+    # reference-parity estimator whose a.e. geometry gradients omit the
+    # boundary term (the measured negative result in docs/INVERSE_CTRL.json);
+    # "epanechnikov" is the smooth opt-in whose flux weight is continuous at
+    # the radius boundary, making the a.e. derivative the TRUE derivative —
+    # gradients then flow into deposit/hit positions via plain AD through
+    # the chunked bruteforce (render/deposit.py).
+    ap.add_argument("--kernel", choices=["box", "epanechnikov"],
+                    default="box")
     args = ap.parse_args()
 
     import jax
@@ -126,10 +135,19 @@ def main() -> int:
         newton_fn = make_newton_pallas(iters=cfg.newton_iters, restarts=8)
     bounds = world_bounds_from_scene(scene,
                                      extra_points=[[50.0, 35.0, 230.0]])
-    deposit_fn = PallasDepositLane(
-        tile=256, chunk=512, work_cap=16384, differentiable=True,
-        interpret=not on_tpu, **bounds,
-    )
+    if args.kernel == "epanechnikov":
+        # Smooth kernel: plain AD through the chunked bruteforce — position
+        # and radius cotangents are real here (the banded Pallas VJP is a
+        # box-kernel transpose and would discard them).
+        from raytrace3_tpu.render.deposit import deposit_bruteforce_epa
+        deposit_fn = deposit_bruteforce_epa
+        dep_name = "bruteforce(epanechnikov, plain AD)"
+    else:
+        deposit_fn = PallasDepositLane(
+            tile=256, chunk=512, work_cap=16384, differentiable=True,
+            interpret=not on_tpu, **bounds,
+        )
+        dep_name = "PallasDepositLane(differentiable)"
     render = make_render_fn(scene, cfg, camera_pose=camera_pose,
                             newton_fn=newton_fn, deposit_fn=deposit_fn)
 
@@ -266,7 +284,8 @@ def main() -> int:
         "photons_per_step": cfg.rounds * cfg.photons_per_round,
         "steps": args.steps,
         "backend": jax.default_backend(),
-        "deposit_backend": "PallasDepositLane(differentiable)",
+        "deposit_backend": dep_name,
+        "deposit_kernel": args.kernel,
         "identifiable_coords": n_ident,
         "total_coords": int(ident.size),
         "initial_param_err": round(p0_err, 5),
@@ -299,9 +318,11 @@ def main() -> int:
     # measured-escalation summary (gradient path validated, geometry-scale
     # recovery shown NOT to follow from a.e. gradients for this estimator)
     # and must not be clobbered by a rerun of one configuration.
+    suffix = ""
+    if args.exp == "ctrl":
+        suffix = "_EPA" if args.kernel == "epanechnikov" else "_RUN"
     out = os.path.join(REPO, "docs",
-                       f"INVERSE_{args.exp.upper()}"
-                       + ("_RUN" if args.exp == "ctrl" else "") + ".json")
+                       f"INVERSE_{args.exp.upper()}{suffix}.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=2)
         f.write("\n")
@@ -317,7 +338,9 @@ def main() -> int:
         trip = np.concatenate(
             [np.asarray(target).reshape(h, -1, 3),
              img_bad.reshape(h, -1, 3), img_rec.reshape(h, -1, 3)], axis=1)
-        save_png(os.path.join(REPO, "docs", f"inverse_{args.exp}.png"),
+        png = f"inverse_{args.exp}" + (
+            "_epa" if args.kernel == "epanechnikov" else "") + ".png"
+        save_png(os.path.join(REPO, "docs", png),
                  np.asarray(tonemap(jnp.asarray(trip))), tonemapped=True)
     except Exception as e:  # plotting is best-effort
         print(f"inverse: PNG skipped ({e})", file=sys.stderr)

@@ -141,6 +141,32 @@ def main() -> int:
                 f"ztile_zc{zc}_t{t_}_ch{ch}_packed",
                 dict(cls=Z, tile=t_, chunk=ch, z_coarse=zc, packed=True,
                      **zb)))
+    # Round-5 sweep #8 (post-#7 reading): at ch1024 the per-window chunk
+    # CEILING (6 windows x >= 1 chunk) eats the z-cut's pair-volume win,
+    # and at t128 the anchor is fetch-bound while t256 is pair-bound.
+    # Probe the two remaining directions: bigger chunks on the 1-D anchor
+    # (halve the ~0.5us DMA issues; +ceiling pairs are VPU-cheap), and the
+    # z-variant at shapes that amortise its window count.
+    for name, kw in [
+        ("tile1d_t128_ch2048_packed", dict(cls=T, tile=128, chunk=2048,
+                                           bucket2d=False, packed=True,
+                                           **b1)),
+        ("tile1d_t256_ch2048_packed", dict(cls=T, tile=256, chunk=2048,
+                                           bucket2d=False, packed=True,
+                                           **b1)),
+        ("tile1d_t128_ch1536_packed", dict(cls=T, tile=128, chunk=1536,
+                                           bucket2d=False, packed=True,
+                                           **b1)),
+        ("ztile_zc8.0_t128_ch1024_packed",
+         dict(cls=Z, tile=128, chunk=1024, z_coarse=8.0, packed=True, **zb)),
+        ("ztile_zc11.3_t256_ch2048_packed",
+         dict(cls=Z, tile=256, chunk=2048, z_coarse=11.3, packed=True,
+              **zb)),
+        ("ztile_zc11.3_t384_ch1024_packed",
+         dict(cls=Z, tile=384, chunk=1024, z_coarse=11.3, packed=True,
+              **zb)),
+    ]:
+        configs.append((name, kw))
     sel = os.environ.get("RT3_SWEEP")
     if sel:
         keep = {int(i) for i in sel.split(",")}

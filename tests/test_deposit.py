@@ -519,3 +519,73 @@ def test_ztile_deposit_prep_reuse_and_packed(rng):
     np.testing.assert_allclose(
         d_tao * np.asarray(hp.valid)[:, None], np.asarray(bt),
         rtol=2e-4, atol=1e-4)
+
+
+def test_epanechnikov_deposit_gradients_match_fd(rng):
+    """The smooth-kernel deposit (round 5, VERDICT item 4): its flux weight
+    2(1-d2/r2) is continuous at the radius boundary, so plain-AD gradients
+    w.r.t. deposit positions, hit positions AND r2 must match central FD —
+    exactly the property the box kernel lacks (boundary term).  Also checks
+    the kernel integrates like the box: summed flux over a dense uniform
+    disc of deposits ~ equals the box kernel's (same density estimate)."""
+    from raytrace3_tpu.render.deposit import (deposit_bruteforce,
+                                              deposit_bruteforce_epa)
+
+    hp, dep = _random_case(rng, C=60, D=200)
+    # densify: _random_case's 40^3 box yields ~1 neighbour pair at r ~ 1.4;
+    # shrink to 10^3 so the gradient has real support
+    hp = hp.replace(pos=hp.pos / 4.0)
+    dep = dep.replace(pos=dep.pos / 4.0)
+
+    def loss(dpos, hpos, r2):
+        h = hp.replace(pos=hpos, r2=r2)
+        d = dep.replace(pos=dpos)
+        cnt, tao = deposit_bruteforce_epa(h, d, chunk=128)
+        # weighted sum -> sensitive to every coordinate
+        w = jnp.arange(tao.size, dtype=jnp.float32).reshape(tao.shape)
+        return jnp.sum(tao * (0.5 + 0.01 * w))
+
+    g_dp, g_hp, g_r2 = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
+        dep.pos, hp.pos, hp.r2)
+    f = jax.jit(loss)
+    eps = 3e-3
+    rng2 = np.random.default_rng(1)
+    checked = 0
+    for arr, g, name in ((dep.pos, g_dp, "dpos"), (hp.pos, g_hp, "hpos"),
+                         (hp.r2, g_r2, "r2")):
+        a = np.asarray(arr)
+        ga = np.asarray(g)
+        nz = np.flatnonzero(np.abs(ga).ravel() > 1e-4)
+        if nz.size == 0:
+            continue
+        for flat in rng2.choice(nz, size=min(6, nz.size), replace=False):
+            idx = np.unravel_index(int(flat), a.shape)
+            def at(v):
+                b = a.copy(); b[idx] = v
+                args = {"dpos": (jnp.asarray(b), hp.pos, hp.r2),
+                        "hpos": (dep.pos, jnp.asarray(b), hp.r2),
+                        "r2": (dep.pos, hp.pos, jnp.asarray(b))}[name]
+                return float(f(*args))
+            fd = (at(a[idx] + eps) - at(a[idx] - eps)) / (2 * eps)
+            ad = float(ga[idx])
+            assert abs(fd - ad) <= 0.08 * max(abs(fd), abs(ad)) + 1e-3, (
+                name, idx, fd, ad)
+            checked += 1
+    assert checked >= 10, checked
+
+    # normalisation sanity: dense uniform deposits on one hit point's disc
+    # -> epa and box flux sums agree to a few percent (both estimate the
+    # same density: epa weight integrates to 1 over the disc)
+    C1 = make_hitpoints(1, init_r2=2.0)
+    C1 = C1.replace(pos=jnp.zeros((1, 3)), n=jnp.asarray([[0.0, 1.0, 0.0]]),
+                    wgt=jnp.ones((1, 3)), valid=jnp.ones((1,), bool))
+    M = 60000
+    xy = rng.uniform(-1.5, 1.5, size=(M, 2)).astype(np.float32)
+    dpos = np.stack([xy[:, 0], np.zeros(M, np.float32), xy[:, 1]], 1)
+    dd = Deposits(pos=jnp.asarray(dpos),
+                  n=jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (M, 3)),
+                  flux=jnp.ones((M, 3)), valid=jnp.ones((M,), bool))
+    _, tao_box = deposit_bruteforce(C1, dd)
+    _, tao_epa = deposit_bruteforce_epa(C1, dd)
+    ratio = float(tao_epa[0, 0] / tao_box[0, 0])
+    assert abs(ratio - 1.0) < 0.05, ratio
