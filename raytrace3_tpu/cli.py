@@ -42,8 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default=None, help="output PNG path")
     p.add_argument("--checkpoint", default=None, help="checkpoint file path")
     p.add_argument("--checkpoint-every", type=int, default=None)
-    p.add_argument("--preview-every", type=int, default=0,
-                   help="write the running-average PNG every N passes")
+    p.add_argument("--preview-every", type=int, default=1,
+                   help="write the running-average PNG every N passes "
+                        "(default 1 = the reference's per-pass progressive "
+                        "dump, Raytracer.h:472-474; 0 disables — use for "
+                        "benchmarking, per-pass host I/O breaks the async "
+                        "dispatch pipeline)")
     p.add_argument("--metrics-jsonl", default=None)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of one pass here")

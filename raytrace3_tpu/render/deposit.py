@@ -120,6 +120,12 @@ def deposit_bruteforce(hp: HitPoints, dep: Deposits, chunk: int = 4096,
     dv = jnp.pad(dep.valid, (0, pad))
     n_chunks = (D + pad) // chunk
 
+    # checkpoint: under reverse-mode AD (the smooth-kernel geometry-grad
+    # path) the scan would otherwise SAVE every (C, chunk) pair matrix —
+    # n_chunks x rounds of ~75 MB blew HBM at 48^2; recomputing the chunk
+    # contribution in the backward is ~free (it is two broadcasts + a thin
+    # matmul) and drops the residuals to O(C).
+    @jax.checkpoint
     def body(carry, idx):
         cnt, fl = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, idx * chunk, chunk)

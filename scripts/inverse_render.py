@@ -55,6 +55,14 @@ def main() -> int:
     # the chunked bruteforce (render/deposit.py).
     ap.add_argument("--kernel", choices=["box", "epanechnikov"],
                     default="box")
+    # ctrl-experiment knobs (the recovery lives or dies on the SNR between
+    # the geometry signal and the stochastic-loss variance floor):
+    ap.add_argument("--n-avg", type=int, default=0,
+                    help="renders averaged per step (0 = experiment default)")
+    ap.add_argument("--sigma", type=float, default=0.05,
+                    help="ctrl perturbation stddev")
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="override learning rate (0 = experiment default)")
     args = ap.parse_args()
 
     import jax
@@ -125,7 +133,7 @@ def main() -> int:
             # realized box-kernel estimator is a STAIRCASE in geometry and
             # the a.e. gradient points along the treads.
             true = np.asarray(p["ctrl"])
-            noise = rng.normal(0.0, 0.05, true.shape).astype(np.float32)
+            noise = rng.normal(0.0, args.sigma, true.shape).astype(np.float32)
             return dict(p, ctrl=jnp.asarray(true + noise))
 
     newton_fn = None
@@ -166,14 +174,22 @@ def main() -> int:
     # and puts it under the signal; the target is a 32-key average.
     # albedo keeps common random numbers (its estimator is smooth in
     # albedo, and CRN makes recovery exact).
-    n_avg = 8 if args.exp == "ctrl" else 1
+    n_avg = (8 if args.exp == "ctrl" else 1)
+    if args.n_avg:
+        n_avg = args.n_avg
+    if args.lr > 0.0:
+        lr = args.lr
     if n_avg > 1:
         def render_mean(p, ks):
             # scan, not vmap: the vmapped backward graph reliably crashed
             # the remote TPU compiler (HTTP 500, twice); the scan form
             # compiles and differentiates fine.
+            # checkpoint each render: the backward otherwise saves EVERY
+            # averaged render's walk residuals at once (n_avg x a per-lane
+            # (4,4,3) ctrl gather the TPU pads 32x -> 10.5 GB at n_avg=16);
+            # rematerialising holds one render's residuals at a time.
             def body(acc, k):
-                return acc + render(p, k), None
+                return acc + jax.checkpoint(render)(p, k), None
 
             acc, _ = jax.lax.scan(
                 body, jnp.zeros((cfg.n_pixels, 3), jnp.float32), ks)
@@ -286,6 +302,7 @@ def main() -> int:
         "backend": jax.default_backend(),
         "deposit_backend": dep_name,
         "deposit_kernel": args.kernel,
+        "n_avg": n_avg, "sigma": args.sigma, "lr": lr,
         "identifiable_coords": n_ident,
         "total_coords": int(ident.size),
         "initial_param_err": round(p0_err, 5),
