@@ -67,7 +67,11 @@ def main() -> int:
     res = int(os.environ.get("RT3_BENCH_RES", "512"))
     platform = os.environ.get("RT3_BENCH_PLATFORM")
     use_pallas = os.environ.get("RT3_BENCH_PALLAS", "1") != "0"
-    restarts = int(os.environ.get("RT3_BENCH_RESTARTS", "16"))
+    # 8 restarts (2x4 stratified grid): certified per-ray against a
+    # 64-restart oracle (docs/NEWTON_RESTARTS.json: zero eye misses, ~1%
+    # different-root picks with t within 4%) and in aggregate by the
+    # pallas-newton crossval; halves the Newton kernel vs round 4's 16.
+    restarts = int(os.environ.get("RT3_BENCH_RESTARTS", "8"))
     n_timed = int(os.environ.get("RT3_BENCH_TIMED", "4"))
     # 1.0 = no deposit compaction: the banded deposit's sort already pushes
     # invalid lanes outside every search window, and the compaction gathers
@@ -123,11 +127,14 @@ def main() -> int:
     from raytrace3_tpu.ops.deposit_pallas import (PallasDeposit,
                                                   PallasDepositTile,
                                                   world_bounds_from_scene)
-    wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
+    # Round-5 sweep #8 (docs/PERF.md): tile 256 / chunk 2048 measured
+    # 55.5 ms/round vs round 4's t128/ch1024 at 60.0 — halving the DMA
+    # issue count (the measured per-chunk floor) beats the round-3 optimum.
+    wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "2048"))
     work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
     dep_cls = os.environ.get("RT3_BENCH_DEPCLS", "tile")
     dep_tile = int(os.environ.get("RT3_BENCH_DEPTILE",
-                                  "128" if dep_cls == "tile" else "512"))
+                                  "256" if dep_cls == "tile" else "512"))
     dep_2d = os.environ.get("RT3_BENCH_DEP2D", "0") == "1"
     bounds = world_bounds_from_scene(scene,
                                      extra_points=[[50.0, 35.0, 230.0]])

@@ -129,10 +129,10 @@ def main(argv=None) -> int:
         if cfg.deposit == "tile":
             # Tile-loop kernel (round 3): in-kernel chunk walk — no work
             # cap, no overflow path, layout-space rounds (packed_call).
-            # tile=128/chunk=1024 is the measured best across the round-3
-            # sweeps (docs/PERF.md, 57-61 ms/call at bench shapes).
+            # tile=256/chunk=2048 is the measured best (round-5 sweep #8,
+            # docs/PERF.md, 55.5 ms/call at bench shapes).
             deposit_fn = PallasDepositTile(
-                tile=128, chunk=1024, bucket2d=False, interpret=interp,
+                tile=256, chunk=2048, bucket2d=False, interpret=interp,
                 x_lo=bounds["x_lo"], x_hi=bounds["x_hi"],
                 y_lo=bounds["y_lo"], y_hi=bounds["y_hi"],
             )

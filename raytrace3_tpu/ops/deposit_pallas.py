@@ -1379,9 +1379,11 @@ def world_bounds_from_scene(scene, margin: float = 4.0 * SEARCH_R,
 
 
 def make_pallas_deposit(**kw):
-    """The measured-best Pallas deposit backend (round-3 sweeps,
-    docs/PERF.md): the tile-loop kernel at tile=128/chunk=1024 — no work
-    cap, no overflow path, layout-space rounds via ``packed_call``."""
-    kw.setdefault("tile", 128)
-    kw.setdefault("chunk", 1024)
+    """The measured-best Pallas deposit backend (round-5 sweep #8,
+    docs/PERF.md): the tile-loop kernel at tile=256/chunk=2048 — no work
+    cap, no overflow path, layout-space rounds via ``packed_call``.
+    Larger chunks halve the per-chunk DMA-issue floor (the measured
+    binding cost); the extra ceiling pairs are VPU-cheap."""
+    kw.setdefault("tile", 256)
+    kw.setdefault("chunk", 2048)
     return PallasDepositTile(**kw)

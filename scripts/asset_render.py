@@ -86,7 +86,7 @@ def main() -> int:
         deposit_fn = make_pallas_deposit(
             bucket2d=False,
             **{k: bounds[k] for k in ("x_lo", "x_hi", "y_lo", "y_hi")})
-        newton_fn = make_newton_pallas(iters=10, restarts=16)
+        newton_fn = make_newton_pallas(iters=10, restarts=8)
 
     t0 = time.time()
     img, metrics = driver.render(cfg, scene=scene, deposit_fn=deposit_fn,

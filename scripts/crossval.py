@@ -70,7 +70,7 @@ def run_cpp(res: int, photons: int, dump: str, texbin: str | None = None,
 def run_jax(res: int, photons: int, platform: str | None, seed: int = 0,
             scene_name: str = "full_flat", update_mode: str = "reference",
             per_round_cap: int = 131072, atlas_res: int = 16,
-            texdump: str | None = None):
+            texdump: str | None = None, newton_restarts: int = 0):
     import jax
 
     if platform:
@@ -119,12 +119,21 @@ def run_jax(res: int, photons: int, platform: str | None, seed: int = 0,
             **{k: b[k] for k in ("x_lo", "x_hi", "y_lo", "y_hi")})
     else:
         deposit_fn = make_grid_deposit(max_per_cell=1024)
+    newton_fn = None
+    if newton_restarts and jax.default_backend() == "tpu":
+        # Aggregate certification of the Pallas Newton restart budget
+        # (docs/NEWTON_RESTARTS.json is the per-ray study; this is the
+        # whole-image check at a candidate budget).
+        from raytrace3_tpu.ops.newton_pallas import make_newton_pallas
+
+        newton_fn = make_newton_pallas(iters=cfg.newton_iters,
+                                       restarts=newton_restarts)
     fn = jax.jit(lambda k: render_pass(
         scene, org, dirs, k,
         hitpoint_capacity=cfg.hitpoint_capacity,
         n_rounds=rounds, photons_per_round=per_round,
         max_depth=cfg.max_depth, update_mode=update_mode,
-        deposit_fn=deposit_fn,
+        deposit_fn=deposit_fn, newton_fn=newton_fn,
         photon_scene=photon_scene,
     ))
     t0 = time.perf_counter()
@@ -173,6 +182,9 @@ def main() -> int:
                     default="reference",
                     help="sppm = LIVE textbook radius shrink on BOTH sides "
                          "with matched round batching (single C++ chain)")
+    ap.add_argument("--newton-restarts", type=int, default=0,
+                    help="use the Pallas Newton kernel with this restart "
+                         "budget on TPU (0 = jnp path)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-cpp", action="store_true",
                     help="reuse an existing dump from a previous run")
@@ -223,7 +235,8 @@ def main() -> int:
     ours, stats, dt, emitted = run_jax(
         args.res, args.photons, args.platform, args.seed,
         scene_name=scene_name, update_mode=args.update_mode,
-        per_round_cap=per_round_cap, atlas_res=atlas_res)
+        per_round_cap=per_round_cap, atlas_res=atlas_res,
+        newton_restarts=args.newton_restarts)
     print(f"crossval: JAX pass {dt:.1f}s, {stats}", file=sys.stderr, flush=True)
 
     po, pc = pool(ours, args.block), pool(cpp, args.block)
