@@ -40,10 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.vecmath import M_EPS, MAX_DIST
 
 LANES = 128
-#: default restart count; 16 = 4x4 stratified grid, 8 patches per group.
-#: 8 (=2x4 grid, 16 patches/group) halves the work at slightly looser
-#: root selection (validated in tests against the 16-restart solver).
-DEFAULT_RESTARTS = 16
+#: default restart count; 8 = 2x4 stratified grid, 16 patches per group —
+#: certified per-ray against a 64-restart oracle on eye/photon/grazing ray
+#: populations (docs/NEWTON_RESTARTS.json: ZERO missed intersections, ~1%
+#: different-valid-root picks with t within 4% — the same character as the
+#: reference's own 50-RANDOM-restart run-to-run variation, Bezier.h:6,115)
+#: and in aggregate by the pallas-newton crossval (docs/CROSSVAL_PN8.json,
+#: rel_err 1.57% == the 16-restart record's 1.56%).  16 (4x4 grid) doubles
+#: the kernel cost and removes the ~1% root variation.
+DEFAULT_RESTARTS = 8
 BIG = float(MAX_DIST)
 
 

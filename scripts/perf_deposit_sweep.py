@@ -165,6 +165,9 @@ def main() -> int:
         ("ztile_zc11.3_t384_ch1024_packed",
          dict(cls=Z, tile=384, chunk=1024, z_coarse=11.3, packed=True,
               **zb)),
+        ("tile1d_t512_ch2048_packed", dict(cls=T, tile=512, chunk=2048,
+                                           bucket2d=False, packed=True,
+                                           **b1)),
     ]:
         configs.append((name, kw))
     sel = os.environ.get("RT3_SWEEP")
