@@ -129,10 +129,13 @@ def main(argv=None) -> int:
         if cfg.deposit == "tile":
             # Tile-loop kernel (round 3): in-kernel chunk walk — no work
             # cap, no overflow path, layout-space rounds (packed_call).
-            # tile=256/chunk=2048 is the measured best (round-5 sweep #8,
-            # docs/PERF.md, 55.5 ms/call at bench shapes).
+            # Measured best (round-5 sweeps #8/#9, docs/PERF.md):
+            # tile=256/chunk=2048 at 512^2 (55.5 ms/call); at 1024^2-class
+            # hit-point counts tile=512 wins (165 vs 169 ms — pair volume
+            # is tile-size invariant there and fewer tiles cut overheads).
             deposit_fn = PallasDepositTile(
-                tile=256, chunk=2048, bucket2d=False, interpret=interp,
+                tile=512 if big else 256, chunk=2048, bucket2d=False,
+                interpret=interp,
                 x_lo=bounds["x_lo"], x_hi=bounds["x_hi"],
                 y_lo=bounds["y_lo"], y_hi=bounds["y_hi"],
             )

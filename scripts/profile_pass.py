@@ -40,23 +40,31 @@ def build_pass_fn():
     # Keep this IDENTICAL to bench.py's config so the profiled program is
     # the benched program AND the persistent compile cache is shared.
     depfrac = float(os.environ.get("RT3_BENCH_DEPFRAC", "1.0"))
-    restarts = int(os.environ.get("RT3_BENCH_RESTARTS", "16"))
+    restarts = int(os.environ.get("RT3_BENCH_RESTARTS", "8"))
+    # At 1024^2 mirror the reference1024 preset's schedule (the cli path
+    # the REFERENCE1024.json artifact runs) so the profiled program IS the
+    # recorded one and the compile cache is shared.
+    schedule = (((1, 0.3), (4, 0.055), (6, 0.028)) if res >= 1024
+                else ((1, 0.25), (4, 0.04), (6, 0.02)))
     cfg = RenderConfig(
         scene="full", width=res, height=res, passes=1, rounds=rounds,
-        photons_per_round=photons, max_depth=13, atlas_res=128,
+        photons_per_round=photons, max_depth=13,
+        atlas_res=256 if res >= 1024 else 128,  # match the preset's atlas
         bezier_compact_frac=0.09, bezier_compact_frac_photon=0.05,
         newton_restarts=4, newton_iters=10,
         update_mode="sppm", deposit="pallas", deposit_compact_frac=depfrac,
         hitpoint_factor=1.3, photon_regen=True,
-        eye_compact_schedule=((1, 0.25), (4, 0.04), (6, 0.02)),
+        eye_compact_schedule=schedule,
     )
     scene = build_scene(cfg)
     newton_fn = make_newton_pallas(iters=cfg.newton_iters, restarts=restarts)
-    wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "1024"))
+    wchunk = int(os.environ.get("RT3_BENCH_WCHUNK", "2048"))
     work_cap = int(os.environ.get("RT3_BENCH_WORKCAP", "16384"))
     dep_cls = os.environ.get("RT3_BENCH_DEPCLS", "tile")
-    dep_tile = int(os.environ.get("RT3_BENCH_DEPTILE",
-                                  "128" if dep_cls == "tile" else "512"))
+    dep_tile = int(os.environ.get(
+        "RT3_BENCH_DEPTILE",
+        ("512" if cfg.hitpoint_capacity > (1 << 19) else "256")
+        if dep_cls == "tile" else "512"))
     dep_2d = os.environ.get("RT3_BENCH_DEP2D", "0") == "1"
     bounds = world_bounds_from_scene(scene, extra_points=[base_cam()])
     bkw = bounds if dep_2d else {k: bounds[k] for k in

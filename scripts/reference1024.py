@@ -56,6 +56,10 @@ def main() -> int:
         "--out", args.png,
         "--metrics-jsonl", args.metrics,
         "--checkpoint-every", "0",
+        # the per-pass progressive preview (cli default, reference parity)
+        # costs ~0.3-0.5 s of host PNG I/O per pass INSIDE the timed loop —
+        # off for the throughput artifact
+        "--preview-every", "0",
     ])
     assert rc == 0
 

@@ -18,7 +18,13 @@ from raytrace3_tpu.scenes import _teapot_ctrl
 
 @pytest.fixture(scope="module")
 def solver():
-    return make_newton_pallas(interpret=True, tile_r=8)
+    # restarts=16 matches the jnp path's 4x4 stratified start grid
+    # (geometry/bezier.py DEFAULT_RESTART_GRID=4), which is what makes the
+    # "identical restart grid -> identical decisions" equality assertions
+    # meaningful.  The LIBRARY default is 8 (2x4 grid) — certified against
+    # a 64-restart oracle in docs/NEWTON_RESTARTS.json, where the ~1%
+    # different-valid-root picks vs the 16-grid are measured and accepted.
+    return make_newton_pallas(interpret=True, tile_r=8, restarts=16)
 
 
 def _flat_patch():
