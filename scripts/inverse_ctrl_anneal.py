@@ -169,7 +169,7 @@ def main() -> int:
                   for r2, i, l, pe, se in curves],
         "pass": bool(sf < 0.25 * s0),
     }
-    out = os.path.join(REPO, "docs", "INVERSE_CTRL_EPA.json")
+    out = os.path.join(REPO, "docs", "INVERSE_CTRL_ANNEAL.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=2)
         f.write("\n")
